@@ -1,0 +1,99 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship metric mirrors BASELINE.json: spatial-join + tile-assignment
+throughput (rows/sec) — points driven through tile assignment AND the
+cell-keyed PIP join in one pipeline. Each query is forced end-to-end with a
+noop sink (no collect — nothing funnels through the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from gis_scripts_spark import queries as Q  # noqa: E402
+from gis_scripts_spark.operators import pip_join  # noqa: E402
+from gis_scripts_spark.index import cells as cells_mod  # noqa: E402
+from gis_scripts_spark.index import tiles as tiles_mod  # noqa: E402
+from gis_scripts_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "tile_assign",
+    "pip_pairs",
+    "pip_counts",
+    "grid_agg_mean_of_means",
+    "knn_k5",
+    "bbox_overlap_pairs",
+    "dedup_exact",
+    "text_stats",
+    "embed_cosine_top3",
+]
+
+
+def flagship_pipeline(spark, sf_dir):
+    """tile assignment + PIP join in one plan (the north-rule workload)."""
+    cust = Q.derived_lonlat(Q._pq(spark, sf_dir, "customer"), "c_custkey")
+    cust = tiles_mod.tile_cols(cust, z=12)
+    cust = cust.withColumn("cell12", cells_mod.cell_col(F.col("lon"), F.col("lat"), 12))
+    polys = Q._aoi_polys_df(spark, sf_dir)
+    joined = pip_join.pip_join(cust, polys, z=7)
+    return joined.select("c_custkey", "poly_id", "tile_x", "tile_y", "quadkey", "cell12")
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench", cores=cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # flagship: spatial-join + tile-assignment throughput
+    n_points = Q._pq(spark, sf_dir, "customer").count()
+    df = flagship_pipeline(spark, sf_dir)
+    force(df)  # warm (JIT, parquet footer cache)
+    t0 = time.perf_counter()
+    force(flagship_pipeline(spark, sf_dir))
+    flagship_sec = time.perf_counter() - t0
+    timings["flagship_pip_tile"] = round(flagship_sec, 3)
+
+    for name in BENCH_QUERIES:
+        fn = Q.QUERIES[name]
+        t0 = time.perf_counter()
+        force(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cores": cores,
+        # north-rule headline: spatial-join + tile-assignment throughput
+        "flagship_rows_per_sec": round(n_points / flagship_sec, 1),
+        "flagship_rows": n_points,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,179 @@
+"""Point-in-polygon join — the flagship operator (SURVEY.md §2.3 J6).
+
+Replaces the reference's zonal containment (``Assess_Agreement.R:45-57``
+``extract(raster, polygons)``) and polygon∩AOI coverage
+(``seagrass_lib.py:185-192``) with the classic two-phase distributed PIP:
+
+  1. COARSE: polygons are covered by grid cells (exact closed-form covering,
+     ``geom.core.cover_polygon``), each cell flagged `full` when entirely
+     inside the polygon. Points get the same cell key as pure Column math.
+     The join is then a cell equi-join — broadcast-hash when the cover table
+     is small (AOI/admin layers), shuffle-hash otherwise.
+  2. EXACT: boundary cells (`full = false`) run the exact ray-casting test
+     inside an Arrow-batched pandas UDF; `full = true` cells skip it
+     entirely (the dominant fraction for large polygons).
+
+At 100 TB the only shuffled payload is (point key, lon, lat, cell) — never
+image bytes; polygon WKB rides the broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+from gis_scripts_spark.geom import core as geom
+from gis_scripts_spark.geom import wkb as wkb_mod
+from gis_scripts_spark.index import cells as cells_mod
+
+
+def build_cover_df(
+    spark: SparkSession, polys_df: DataFrame, z: int, poly_id: str = "poly_id", wkb_col: str = "wkb"
+) -> DataFrame:
+    """(poly_id, cell, full) covering table.
+
+    Computed distributed via mapInPandas (each polygon is independent), so
+    a 10^7-row admin-polygon table covers in parallel; the result is small
+    (cells per polygon ~ area / cell_area) and broadcast-joinable.
+    """
+    id_field = polys_df.schema[poly_id].dataType
+    out_schema = StructType(
+        [
+            StructField("poly_id", id_field, False),
+            StructField("cell", LongType(), False),
+            StructField("full", BooleanType(), False),
+        ]
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            ids, cs, fs = [], [], []
+            for pid, buf in zip(pdf[poly_id], pdf[wkb_col]):
+                polys = wkb_mod.from_wkb(bytes(buf))
+                cc, ff = geom.cover_polygon(polys, z)
+                ids.extend([pid] * len(cc))
+                cs.append(cc)
+                fs.append(ff)
+            yield pd.DataFrame(
+                {
+                    "poly_id": ids,
+                    "cell": np.concatenate(cs) if cs else np.empty(0, np.int64),
+                    "full": np.concatenate(fs) if fs else np.empty(0, bool),
+                }
+            )
+
+    return polys_df.select(poly_id, wkb_col).mapInPandas(gen, out_schema)
+
+
+def _pip_check_udf(wkb_by_poly: dict):
+    """Exact-containment pandas UDF over (poly_id, lon, lat) with the WKB
+    dict captured in the closure (small AOI layers; the generic path carries
+    a wkb column instead — see exact_check_with_wkb)."""
+
+    @F.pandas_udf(BooleanType())
+    def pip_check(poly_id: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        out = np.zeros(len(poly_id), dtype=bool)
+        px = lon.to_numpy(np.float64)
+        py = lat.to_numpy(np.float64)
+        # group rows by polygon so each polygon is decoded + tested once
+        for pid, idx in pd.Series(range(len(poly_id))).groupby(poly_id.values).groups.items():
+            polys = wkb_by_poly[pid]
+            ii = np.asarray(idx)
+            out[ii] = geom.points_in_multipolygon(px[ii], py[ii], polys)
+        return pd.Series(out)
+
+    return pip_check
+
+
+@F.pandas_udf(BooleanType())
+def exact_check_with_wkb(wkb_bytes: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """Exact PIP with the polygon WKB carried as a column (shuffle variant —
+    scales to polygon tables too large to closure-capture). Decodes each
+    distinct WKB once per batch."""
+    out = np.zeros(len(lon), dtype=bool)
+    px = lon.to_numpy(np.float64)
+    py = lat.to_numpy(np.float64)
+    cache: dict[bytes, list] = {}
+    codes, uniques = pd.factorize(wkb_bytes)
+    for u_idx, buf in enumerate(uniques):
+        key = bytes(buf)
+        polys = cache.get(key)
+        if polys is None:
+            polys = cache[key] = wkb_mod.from_wkb(key)
+        ii = np.nonzero(codes == u_idx)[0]
+        out[ii] = geom.points_in_multipolygon(px[ii], py[ii], polys)
+    return pd.Series(out)
+
+
+def pip_join(
+    points_df: DataFrame,
+    polys_df: DataFrame,
+    z: int = 7,
+    lon: str = "lon",
+    lat: str = "lat",
+    poly_id: str = "poly_id",
+    wkb_col: str = "wkb",
+    broadcast_cover: bool = True,
+    salt: int | None = None,
+    hot_cells: list[int] | None = None,
+) -> DataFrame:
+    """Inner join: rows of `points_df` × matching `poly_id`.
+
+    `broadcast_cover=True`: cover table is broadcast (AOI layers). False:
+    shuffle-hash equi-join on cell, WKB carried through the join.
+
+    `salt` + `hot_cells`: replicate cover rows of hot cells `salt` ways and
+    spread their points across replicas via a deterministic hash — the skew
+    escape hatch when one cell dwarfs AQE's skew-join splitting
+    (SURVEY.md §7.4).
+    """
+    spark = points_df.sparkSession
+    cover = build_cover_df(spark, polys_df, z, poly_id, wkb_col)
+
+    pts = points_df.withColumn("cell", cell_expr(lon, lat, z))
+
+    if salt and hot_cells:
+        hot = set(int(c) for c in hot_cells)
+        hot_lit = F.array(*[F.lit(c) for c in sorted(hot)])
+        salt_df = spark.range(salt).select(F.col("id").cast("int").alias("_salt"))
+        cover_hot = cover.filter(F.array_contains(hot_lit, F.col("cell"))).crossJoin(salt_df)
+        cover_cold = cover.filter(~F.array_contains(hot_lit, F.col("cell"))).withColumn(
+            "_salt", F.lit(-1).cast("int")
+        )
+        cover = cover_hot.unionByName(cover_cold)
+        pts = pts.withColumn(
+            "_salt",
+            F.when(
+                F.array_contains(hot_lit, F.col("cell")),
+                F.pmod(F.xxhash64(F.col(lon), F.col(lat)), F.lit(salt)).cast("int"),
+            ).otherwise(F.lit(-1).cast("int")),
+        )
+        join_keys = ["cell", "_salt"]
+    else:
+        join_keys = ["cell"]
+
+    if broadcast_cover:
+        # small-dim broadcast: collect WKB into the exact-check closure
+        rows = polys_df.select(poly_id, wkb_col).collect()
+        wkb_by_poly = {r[0]: wkb_mod.from_wkb(bytes(r[1])) for r in rows}
+        joined = pts.join(F.broadcast(cover), join_keys, "inner")
+        check = _pip_check_udf(wkb_by_poly)
+        joined = joined.filter(
+            F.col("full") | check(F.col("poly_id"), F.col(lon), F.col(lat))
+        )
+    else:
+        cover = cover.join(polys_df.select(poly_id, wkb_col), "poly_id")
+        joined = pts.join(cover, join_keys, "inner")
+        joined = joined.filter(
+            F.col("full") | exact_check_with_wkb(F.col(wkb_col), F.col(lon), F.col(lat))
+        ).drop(wkb_col)
+
+    drop = ["cell", "full"] + (["_salt"] if salt and hot_cells else [])
+    return joined.drop(*drop)
+
+
+def cell_expr(lon: str, lat: str, z: int):
+    return cells_mod.cell_col(F.col(lon), F.col(lat), z)

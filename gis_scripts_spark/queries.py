@@ -1,0 +1,369 @@
+"""Driver-facing query registry: Spark implementations + DuckDB oracle SQL.
+
+Each query runs the engine's operators over the driver's deterministic
+testdata tables (TESTDATA.md). Spatial queries derive lon/lat from integer
+keys with pure integer-modulo + IEEE-double arithmetic so BOTH engines
+compute bit-identical coordinates (no trig in oracle-checked paths — see
+index/cells.py docstring).
+
+Column-name discipline: every computed column is aliased identically in the
+Spark code and the oracle SQL (driver hash-compares sorted columns).
+Floating aggregates are rounded in both engines to absorb sum-order ulps.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from gis_scripts_spark.geom import wkb as wkb_mod
+from gis_scripts_spark.index import cells as cells_mod
+from gis_scripts_spark.index import tiles as tiles_mod
+from gis_scripts_spark.operators import grid_agg, knn, overlap_join, pip_join, similarity
+
+# ---- shared derivation constants (mirrored literally in the oracle SQL) ----
+LON_MULT, LON_MOD = 2654435761, 360000
+LAT_MULT, LAT_MOD = 97643, 120000
+
+_SQL_LON = f"-180.0 + (({{k}} * {LON_MULT}) % {LON_MOD}) / 1000.0"
+_SQL_LAT = f"-60.0 + (({{k}} * {LAT_MULT}) % {LAT_MOD}) / 1000.0"
+
+
+def _pq(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def derived_lonlat(df: DataFrame, key: str) -> DataFrame:
+    """lon/lat from an integer key — identical math to _SQL_LON/_SQL_LAT."""
+    k = F.col(key).cast("long")
+    lon = F.lit(-180.0) + ((k * F.lit(LON_MULT)) % F.lit(LON_MOD)) / F.lit(1000.0)
+    lat = F.lit(-60.0) + ((k * F.lit(LAT_MULT)) % F.lit(LAT_MOD)) / F.lit(1000.0)
+    return df.withColumn("lon", lon).withColumn("lat", lat)
+
+
+# ---------------------------------------------------------------- AOI rects
+def _nation_rect(nk: int) -> tuple[float, float, float, float]:
+    x0 = (-180.0 + float((nk * 15485863) % 300)) + 0.0005
+    y0 = (-60.0 + float((nk * 32452843) % 100)) + 0.0005
+    x1 = x0 + float(10 + (nk % 7) * 3)
+    y1 = y0 + float(8 + (nk % 5) * 2)
+    return x0, y0, x1, y1
+
+_SQL_NATION_RECTS = """
+    SELECT 'aoi_' || CAST(n_nationkey AS VARCHAR) AS poly_id,
+           ((-180.0 + ((n_nationkey * 15485863) % 300)) + 0.0005) AS x0,
+           ((-60.0 + ((n_nationkey * 32452843) % 100)) + 0.0005) AS y0,
+           ((-180.0 + ((n_nationkey * 15485863) % 300)) + 0.0005)
+               + (10 + (n_nationkey % 7) * 3) AS x1,
+           ((-60.0 + ((n_nationkey * 32452843) % 100)) + 0.0005)
+               + (8 + (n_nationkey % 5) * 2) AS y1
+    FROM nation
+"""
+
+
+def _aoi_polys_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nations = _pq(spark, sf_dir, "nation").select("n_nationkey").collect()
+    rows = []
+    for r in nations:
+        nk = int(r[0])
+        x0, y0, x1, y1 = _nation_rect(nk)
+        rows.append((f"aoi_{nk}", bytearray(wkb_mod.bbox_to_wkb(x0, y0, x1, y1))))
+    pdf = pd.DataFrame(rows, columns=["poly_id", "wkb"])
+    return spark.createDataFrame(pdf)
+
+
+def _supplier_boxes(df: DataFrame) -> DataFrame:
+    k = F.col("s_suppkey").cast("long")
+    x0 = (F.lit(-180.0) + ((k * F.lit(7919)) % F.lit(300)).cast("double")) + F.lit(0.25)
+    y0 = (F.lit(-60.0) + ((k * F.lit(104729)) % F.lit(100)).cast("double")) + F.lit(0.25)
+    x1 = x0 + (F.lit(12) + (k % F.lit(10)) * F.lit(2)).cast("double")
+    y1 = y0 + (F.lit(8) + (k % F.lit(8)) * F.lit(2)).cast("double")
+    return df.select(
+        F.col("s_suppkey").alias("id"),
+        x0.alias("x_min"), y0.alias("y_min"), x1.alias("x_max"), y1.alias("y_max"),
+    )
+
+_SQL_SUPPLIER_BOXES = """
+    SELECT s_suppkey AS id,
+           ((-180.0 + ((s_suppkey * 7919) % 300)) + 0.25) AS x_min,
+           ((-60.0 + ((s_suppkey * 104729) % 100)) + 0.25) AS y_min,
+           ((-180.0 + ((s_suppkey * 7919) % 300)) + 0.25) + (12 + (s_suppkey % 10) * 2) AS x_max,
+           ((-60.0 + ((s_suppkey * 104729) % 100)) + 0.25) + (8 + (s_suppkey % 8) * 2) AS y_max
+    FROM supplier
+"""
+
+
+# ================================================================== queries
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style rollup — proves the relational agg layer."""
+    li = _pq(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way broadcast-chain join — proves join strategy selection."""
+    cust = _pq(spark, sf_dir, "customer")
+    orders = _pq(spark, sf_dir, "orders")
+    nation = _pq(spark, sf_dir, "nation")
+    return (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+SQL_REVENUE = """
+SELECT n_name, ROUND(SUM(o_totalprice), 2) AS revenue, COUNT(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_tile_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic tile assignment (engine: index/cells + quadkey)."""
+    z = 8
+    cust = derived_lonlat(_pq(spark, sf_dir, "customer"), "c_custkey")
+    gx, gy = cells_mod.grid_xy_col(F.col("lon"), F.col("lat"), z)
+    out = (
+        cust.withColumn("gx", gx)
+        .withColumn("gy", gy)
+        .withColumn("cell", cells_mod.cell_col(F.col("lon"), F.col("lat"), z))
+        .withColumn("quadkey", tiles_mod.quadkey_col(F.col("gx"), F.col("gy"), z))
+    )
+    return out.select("c_custkey", "gx", "gy", "cell", "quadkey")
+
+
+def _sql_tile_assign() -> str:
+    lon = _SQL_LON.format(k="c_custkey")
+    lat = _SQL_LAT.format(k="c_custkey")
+    digits = " || ".join(
+        f"CAST(((gy >> {i}) & 1) * 2 + ((gx >> {i}) & 1) AS VARCHAR)" for i in range(7, -1, -1)
+    )
+    return f"""
+WITH pts AS (SELECT c_custkey, {lon} AS lon, {lat} AS lat FROM customer),
+g AS (SELECT c_custkey,
+        LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * 256.0) AS BIGINT), 0), 255) AS gx,
+        LEAST(GREATEST(CAST(FLOOR((90.0 - lat) / 180.0 * 256.0) AS BIGINT), 0), 255) AS gy
+      FROM pts)
+SELECT c_custkey, gx, gy,
+       (CAST(8 AS BIGINT) << 58) + (gx << 29) + gy AS cell,
+       {digits} AS quadkey
+FROM g
+"""
+
+
+def q_pip_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: point-in-polygon join, broadcast cover + exact check."""
+    cust = derived_lonlat(_pq(spark, sf_dir, "customer"), "c_custkey")
+    polys = _aoi_polys_df(spark, sf_dir)
+    joined = pip_join.pip_join(cust, polys, z=7)
+    return joined.select("c_custkey", "poly_id")
+
+
+SQL_PIP_PAIRS = f"""
+WITH pts AS (SELECT c_custkey, {_SQL_LON.format(k='c_custkey')} AS lon,
+                    {_SQL_LAT.format(k='c_custkey')} AS lat FROM customer),
+rects AS ({_SQL_NATION_RECTS})
+SELECT c_custkey, poly_id
+FROM pts JOIN rects
+  ON lon > x0 AND lon < x1 AND lat > y0 AND lat < y1
+"""
+
+
+def q_pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join + per-polygon rollup (zonal count, Assess_Agreement.R:52-57)."""
+    pairs = q_pip_pairs(spark, sf_dir)
+    return pairs.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+SQL_PIP_COUNTS = f"""
+WITH pairs AS ({SQL_PIP_PAIRS})
+SELECT poly_id, COUNT(*) AS n_points FROM pairs GROUP BY poly_id
+"""
+
+
+def q_grid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level block-grid aggregation (mean-of-means, local_match.py:372-392)."""
+    ev = derived_lonlat(_pq(spark, sf_dir, "events"), "user_id")
+    out = grid_agg.grid_aggregate(ev, value="value", entity="user_id", z=5)
+    return out.select(
+        "cell",
+        "n_rows",
+        F.round("sum_value", 4).alias("sum_value"),
+        F.round("mean_value", 6).alias("mean_value"),
+        "n_entities",
+        F.round("mean_of_means", 6).alias("mean_of_means"),
+    )
+
+
+SQL_GRID_AGG = f"""
+WITH ev AS (SELECT user_id, value,
+        {_SQL_LON.format(k='user_id')} AS lon, {_SQL_LAT.format(k='user_id')} AS lat FROM events),
+cells AS (SELECT user_id, value,
+        (CAST(5 AS BIGINT) << 58)
+        + (LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * 32.0) AS BIGINT), 0), 31) << 29)
+        + LEAST(GREATEST(CAST(FLOOR((90.0 - lat) / 180.0 * 32.0) AS BIGINT), 0), 31) AS cell
+      FROM ev),
+lvl1 AS (SELECT cell, user_id, COUNT(*) AS n, SUM(value) AS s, AVG(value) AS m
+         FROM cells GROUP BY cell, user_id)
+SELECT cell, CAST(SUM(n) AS BIGINT) AS n_rows, ROUND(SUM(s), 4) AS sum_value,
+       ROUND(SUM(s) / SUM(n), 6) AS mean_value,
+       COUNT(*) AS n_entities, ROUND(AVG(m), 6) AS mean_of_means
+FROM lvl1 GROUP BY cell
+"""
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact kNN via cell-ring expansion (k=5, squared-degree metric)."""
+    cust = derived_lonlat(_pq(spark, sf_dir, "customer"), "c_custkey")
+    out = knn.knn_join(
+        cust, cust, k=5, z=6, point_id="c_custkey", query_id="c_custkey",
+        metric="euclid2", exclude_self=True,
+    )
+    return out.select("query_id", "neighbor_id", "rank")
+
+
+SQL_KNN = f"""
+WITH pts AS (SELECT c_custkey AS k, {_SQL_LON.format(k='c_custkey')} AS lon,
+                    {_SQL_LAT.format(k='c_custkey')} AS lat FROM customer),
+pairs AS (
+  SELECT a.k AS query_id, b.k AS neighbor_id,
+         (b.lon - a.lon) * (b.lon - a.lon) + (b.lat - a.lat) * (b.lat - a.lat) AS d
+  FROM pts a JOIN pts b ON a.k <> b.k),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY d, neighbor_id) AS INTEGER) AS rank
+  FROM pairs)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+"""
+
+
+def q_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise bbox overlap self-join via cell cover + report-once dedupe."""
+    boxes = _supplier_boxes(_pq(spark, sf_dir, "supplier"))
+    out = overlap_join.bbox_overlap_join(boxes, z=6)
+    return out.select("id_i", "id_j")
+
+
+SQL_OVERLAP = f"""
+WITH boxes AS ({_SQL_SUPPLIER_BOXES})
+SELECT a.id AS id_i, b.id AS id_j
+FROM boxes a JOIN boxes b ON a.id < b.id
+WHERE a.x_min < b.x_max AND a.x_max > b.x_min
+  AND a.y_min < b.y_max AND a.y_max > b.y_min
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on documents: canonical id + copy count per distinct text."""
+    docs = _pq(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality stats per document (training-data ops)."""
+    docs = _pq(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("int")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            (F.length("text") - (n_tokens - F.lit(1))).cast("double") / n_tokens, 6
+        ).alias("avg_token_len"),
+    )
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS text_len,
+       CAST(LEN(STRING_SPLIT(text, ' ')) AS INTEGER) AS n_tokens,
+       ROUND(CAST(LENGTH(text) - (LEN(STRING_SPLIT(text, ' ')) - 1) AS DOUBLE)
+             / LEN(STRING_SPLIT(text, ' ')), 6) AS avg_token_len
+FROM documents
+"""
+
+
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 neighbors (rank-only output)."""
+    emb = _pq(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, k=3, id_col="vec_id", vec="embedding")
+
+
+SQL_EMBED_TOPK = """
+WITH pairs AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_cosine_similarity(a.embedding, b.embedding) AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS INTEGER) AS rank
+  FROM pairs)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
+"""
+
+
+QUERIES: dict = {
+    "pricing_summary": q_pricing_summary,
+    "revenue_by_nation": q_revenue_by_nation,
+    "tile_assign": q_tile_assign,
+    "pip_pairs": q_pip_pairs,
+    "pip_counts": q_pip_counts,
+    "grid_agg_mean_of_means": q_grid_agg,
+    "knn_k5": q_knn,
+    "bbox_overlap_pairs": q_overlap_pairs,
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "embed_cosine_top3": q_embed_topk,
+}
+
+ORACLES: dict[str, str] = {
+    "pricing_summary": SQL_PRICING,
+    "revenue_by_nation": SQL_REVENUE,
+    "tile_assign": _sql_tile_assign(),
+    "pip_pairs": SQL_PIP_PAIRS,
+    "pip_counts": SQL_PIP_COUNTS,
+    "grid_agg_mean_of_means": SQL_GRID_AGG,
+    "knn_k5": SQL_KNN,
+    "bbox_overlap_pairs": SQL_OVERLAP,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "text_stats": SQL_TEXT_STATS,
+    "embed_cosine_top3": SQL_EMBED_TOPK,
+}

@@ -1,0 +1,75 @@
+"""SparkSession builders tuned for the engine.
+
+Local-mode sandbox stands in for a multi-executor cluster; all settings are
+chosen so the same code runs unchanged under ``spark-submit --py-files`` on a
+real cluster (nothing here is local-only).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults sized for the sandbox (local[32], 128 GiB). On a real cluster the
+# same knobs scale with `spark.sql.shuffle.partitions ~= 2-3x total cores`.
+_DEFAULTS = {
+    # AQE: runtime coalescing + skew-join splitting is the first line of
+    # defense for hot spatial cells (SURVEY.md §4.2).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow is the UDF boundary for every pixel / cell-encode kernel.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+    # Image `bytes` rows are fat; keep scan partitions bounded.
+    "spark.sql.files.maxPartitionBytes": "128m",
+    # Prefer shuffle-hash over sort-merge for cell-keyed joins: cell keys are
+    # high-cardinality and pre-aggregated sides are small per key.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": "8g",
+}
+
+
+def get_spark(
+    app_name: str = "gis-scripts-spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores`` is the local parallelism level (the sandbox proxy for cluster
+    size N vs 4N — see BENCH/BASELINE.md). ``None`` reads $SPARK_GRAFT_CPUS,
+    falling back to ``*``.
+    """
+    # Python UDF workers spawned by the JVM import the engine via PYTHONPATH.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo_root not in os.environ.get("PYTHONPATH", ""):
+        os.environ["PYTHONPATH"] = repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        n = 32 if cores == "*" else max(int(cores), 4)
+        shuffle_partitions = 2 * n
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_DEFAULTS)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    conf["spark.default.parallelism"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
