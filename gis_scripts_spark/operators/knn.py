@@ -48,11 +48,11 @@ def _haversine(qlon, qlat, plon, plat):
     return 2.0 * EARTH_R * np.arcsin(np.sqrt(a))
 
 
-def _disk_cells_udf(r: int):
+def _disk_cells_udf(r: int, wrap_x: bool = False):
     @F.pandas_udf(ArrayType(LongType()))
     def probe_cells(cell: pd.Series) -> pd.Series:
         arr = cell.to_numpy(np.int64)
-        idx, nb = cells_mod.disk_arr(arr, r)
+        idx, nb = cells_mod.disk_arr(arr, r, wrap_x=wrap_x)
         out = [[] for _ in range(len(arr))]
         for i, c in zip(idx, nb):
             out[i].append(int(c))
@@ -123,7 +123,18 @@ def knn_join(
                 plon, plat, pid = plon[keep], plat[keep], pid[keep]
             if metric == "haversine":
                 d = _haversine(qlon, qlat, plon, plat)
-                bound = 2.0 * EARTH_R * np.sin(np.radians(bound_deg) / 2.0)
+                # min distance to outside the disk: either the lat route
+                # (>= r*cell_h degrees of latitude) or the lon route
+                # (>= r*cell_w degrees of longitude at the worst-case
+                # latitude reachable inside the disk). Near poles the lon
+                # bound collapses to 0 -> resolution falls back to full
+                # grid coverage (still exact, just more rounds).
+                bound_lat = 2.0 * EARTH_R * np.sin(np.radians(bound_deg) / 2.0)
+                lat_reach = min(90.0, abs(qlat) + (r + 1) * cell_h)
+                bound_lon = 2.0 * EARTH_R * np.arcsin(
+                    min(1.0, np.cos(np.radians(lat_reach)) * np.sin(np.radians(2.0 * bound_deg) / 2.0))
+                )
+                bound = min(bound_lat, bound_lon)
             else:
                 dx = plon - qlon
                 dy = plat - qlat
@@ -154,8 +165,11 @@ def knn_join(
     resolved_parts: list[DataFrame] = []
     unresolved = qry
     r = 1
+    wrap = metric == "haversine"  # antimeridian continuity on the sphere
     for _ in range(max_rounds):
-        probes = unresolved.withColumn("_probe", F.explode(_disk_cells_udf(r)(F.col("_qcell"))))
+        probes = unresolved.withColumn(
+            "_probe", F.explode(_disk_cells_udf(r, wrap_x=wrap)(F.col("_qcell")))
+        )
         cand = probes.join(pts, probes["_probe"] == pts["_pcell"], "inner")
         scored = cand.groupBy("_qid").applyInPandas(make_topk(r), result_schema)
         scored = scored.persist()

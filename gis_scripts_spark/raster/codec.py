@@ -1,0 +1,217 @@
+"""Image codecs, pure numpy + stdlib zlib (no PIL/GDAL in the sandbox).
+
+- PNG: real spec-compliant encoder/decoder (8-bit gray / RGB; encoder
+  writes filter-0 scanlines; decoder handles all five standard filters).
+  This is the lossless path of the input_hint invariant ("decoded pixels
+  identical").
+- QNT: deterministic lossy codec (6-bit quantization + zlib), standing in
+  for JPEG since no JPEG library exists in the sandbox. Max per-pixel error
+  is 2 → PSNR ≈ 46 dB, exercising the "PSNR >= 40 dB for lossy formats"
+  invariant path. Real JPEG decode is stubbed (`NotImplementedError`) —
+  the Spark-side plumbing (schema, batching, UDF signatures) is identical.
+- phash: classic 64-bit perceptual hash (area-downsample to 32×32, DCT-II,
+  top-left 8×8 sans DC, median threshold).
+
+Reference parity: the reference reads multi-band rasters as
+(bands, rows, cols) numpy arrays (`global_match.py:146-147`); decode()
+returns (h, w, bands) uint8 — band-last, the image-table convention.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def png_encode(img: np.ndarray) -> bytes:
+    """img: (h, w) or (h, w, 1|3) uint8 -> PNG bytes (filter 0 rows)."""
+    img = np.asarray(img, np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, bands = img.shape
+    if bands == 1:
+        color_type = 0
+    elif bands == 3:
+        color_type = 2
+    else:
+        raise ValueError(f"unsupported band count {bands}")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), img.reshape(h, w * bands)], axis=1
+    ).tobytes()
+    idat = zlib.compress(raw, 6)
+    return _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def png_decode(buf: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, bands) uint8. Handles filters 0-4, 8-bit
+    grayscale/RGB, non-interlaced."""
+    if buf[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    off = 8
+    w = h = bands = None
+    idat = []
+    while off < len(buf):
+        (length,) = struct.unpack_from(">I", buf, off)
+        tag = buf[off + 4 : off + 8]
+        payload = buf[off + 8 : off + 8 + length]
+        off += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or interlace != 0:
+                raise ValueError("only 8-bit non-interlaced PNG supported")
+            bands = {0: 1, 2: 3}.get(color_type)
+            if bands is None:
+                raise ValueError(f"unsupported color type {color_type}")
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * bands
+    raw = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters = raw[:, 0]
+    data = raw[:, 1:].copy()
+    bpp = bands
+    prev = np.zeros(stride, np.uint8)
+    for r in range(h):
+        f = filters[r]
+        row = data[r]
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for x in range(bpp, stride):
+                row[x] = (int(row[x]) + int(row[x - bpp])) & 0xFF
+        elif f == 2:  # Up
+            row += prev
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = int(row[x - bpp]) if x >= bpp else 0
+                row[x] = (int(row[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(row[x - bpp]) if x >= bpp else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[x] = (int(row[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter {f}")
+        prev = row
+    return data.reshape(h, w, bands)
+
+
+# ------------------------------------------------------------- QNT (lossy)
+_QNT_MAGIC = b"QNT1"
+_QNT_BITS = 6
+
+
+def qnt_encode(img: np.ndarray) -> bytes:
+    """Deterministic lossy codec: quantize uint8 to 6 bits (max err 2,
+    PSNR ≈ 46 dB) + zlib."""
+    img = np.asarray(img, np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, bands = img.shape
+    shift = 8 - _QNT_BITS
+    q = (img >> shift).astype(np.uint8)
+    head = _QNT_MAGIC + struct.pack("<HHBB", w, h, bands, _QNT_BITS)
+    return head + zlib.compress(q.tobytes(), 6)
+
+
+def qnt_decode(buf: bytes) -> np.ndarray:
+    if buf[:4] != _QNT_MAGIC:
+        raise ValueError("not QNT")
+    w, h, bands, bits = struct.unpack_from("<HHBB", buf, 4)
+    shift = 8 - bits
+    q = np.frombuffer(zlib.decompress(buf[10:]), np.uint8).reshape(h, w, bands)
+    # dequantize to bin centers
+    return ((q.astype(np.uint16) << shift) + (1 << (shift - 1))).clip(0, 255).astype(np.uint8)
+
+
+def encode(img: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return png_encode(img)
+    if fmt == "qnt":
+        return qnt_encode(img)
+    if fmt == "jpeg":
+        raise NotImplementedError("no JPEG codec in sandbox — use fmt='qnt' for the lossy path")
+    raise ValueError(f"unknown fmt {fmt}")
+
+
+def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
+    """(h, w, bands) uint8 from encoded bytes; sniffs format if fmt None."""
+    head = bytes(buf[:8])
+    if fmt == "png" or head.startswith(_PNG_SIG[:4]):
+        return png_decode(bytes(buf))
+    if fmt == "qnt" or head.startswith(_QNT_MAGIC):
+        return qnt_decode(bytes(buf))
+    if fmt == "jpeg":
+        raise NotImplementedError("no JPEG codec in sandbox")
+    raise ValueError("unknown image format")
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0 * 255.0 / mse)
+
+
+# ------------------------------------------------------------------- phash
+def _dct_matrix(n: int) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    m[0] /= np.sqrt(2.0)
+    return m
+
+_DCT32 = _dct_matrix(32)
+
+
+def phash64(img: np.ndarray) -> int:
+    """Classic pHash: grayscale -> area-resample 32×32 -> 2-D DCT-II ->
+    top-left 8×8 minus DC -> median threshold -> 64-bit int."""
+    img = np.asarray(img, np.float64)
+    if img.ndim == 3:
+        img = img.mean(axis=2)
+    h, w = img.shape
+    # exact area duplication/averaging onto a 32x32 grid
+    ry = np.floor(np.arange(32) * h / 32).astype(np.int64)
+    rx = np.floor(np.arange(32) * w / 32).astype(np.int64)
+    small = img[np.ix_(ry, rx)] if (h < 32 or w < 32) else _area_resize32(img)
+    d = _DCT32 @ small @ _DCT32.T
+    block = d[:8, :8].flatten()[1:]
+    med = np.median(block)
+    bits = block > med
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    # two's-complement int64
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def _area_resize32(img: np.ndarray) -> np.ndarray:
+    h, w = img.shape
+    if h % 32 == 0 and w % 32 == 0:
+        return img.reshape(32, h // 32, 32, w // 32).mean(axis=(1, 3))
+    ry = np.floor(np.arange(32) * h / 32).astype(np.int64)
+    rx = np.floor(np.arange(32) * w / 32).astype(np.int64)
+    return img[np.ix_(ry, rx)]

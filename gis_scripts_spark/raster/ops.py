@@ -1,0 +1,351 @@
+"""Pixel kernels over the image table's `bytes` column (SURVEY.md §2.2).
+
+Each reference script's per-file numpy kernel becomes a vectorized pandas
+UDF / mapInPandas stage: decode -> numpy kernel -> re-encode or emit stats
+rows. Pixels never leave the executor; only keys/stats shuffle.
+
+Reference parity (file:line cited per function):
+- replace_value          <- raster/replace_raster_value.py:36
+- add_scalar             <- raster/add_value_to_raster.py:27-58
+- stretch_percentile     <- raster/stretch_spectral_values.py:46-145
+- apply_linear           <- raster/seamless_mosaic/global_match.py:524-528
+- apply_gamma            <- raster/seamless_mosaic/local_match.py:544-573
+- ndwi_mask              <- external/.../seagrass_lib.py:337-342
+- band_stats             <- global_match.py:152-164
+- predicate_counts       <- raster/count_raster_values.py:5-77
+- replace_connected      <- raster/replace_band_consistant_values_with_value.py:78-121
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gis_scripts_spark.raster import codec
+
+STATS_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("band", IntegerType(), False),
+        StructField("mean", DoubleType(), False),
+        StructField("std", DoubleType(), False),
+        StructField("min", DoubleType(), False),
+        StructField("max", DoubleType(), False),
+        StructField("n_valid", LongType(), False),
+    ]
+)
+
+
+def _transform_bytes(df: DataFrame, kernel, extra_cols: list[str] | None = None) -> DataFrame:
+    """Decode -> kernel(img, row) -> re-encode, preserving all columns.
+    kernel: (np.ndarray, pd.Series) -> np.ndarray (uint8)."""
+    schema = df.schema
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bytes = []
+            for _, row in pdf.iterrows():
+                img = codec.decode(bytes(row["bytes"]), row["fmt"])
+                img2 = kernel(img, row)
+                out_bytes.append(bytearray(codec.encode(img2, row["fmt"])))
+            pdf = pdf.copy()
+            pdf["bytes"] = out_bytes
+            yield pdf[cols]
+
+    return df.mapInPandas(run, schema)
+
+
+# ------------------------------------------------------------- transforms
+def replace_value(df: DataFrame, find: int, replace: int) -> DataFrame:
+    """np.where(img == find, replace, img) per band
+    (replace_raster_value.py:36)."""
+
+    def k(img, row):
+        return np.where(img == find, np.uint8(replace), img)
+
+    return _transform_bytes(df, k)
+
+
+def add_scalar(df: DataFrame, value: float, nodata: int | None = None) -> DataFrame:
+    """Clip-add a scalar to valid pixels, preserving the nodata sentinel
+    (add_value_to_raster.py:27-58)."""
+
+    def k(img, row):
+        out = np.clip(img.astype(np.int32) + int(value), 0, 255).astype(np.uint8)
+        if nodata is not None:
+            out = np.where(img == nodata, img, out)
+        return out
+
+    return _transform_bytes(df, k)
+
+
+def apply_linear(df: DataFrame, params: DataFrame) -> DataFrame:
+    """Per-image per-band gain/offset: np.where(valid, a*px+b, px)
+    (global_match.py:524-528). `params`: (image_id, band, a, b) — joined in
+    (broadcast: the param table is tiny, 2 doubles per image-band)."""
+    p = (
+        params.groupBy("image_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("band", "a", "b"))).alias("_ab"),
+        )
+    )
+    joined = df.join(F.broadcast(p), "image_id", "left")
+    schema = df.schema
+
+    def run(batches):
+        for pdf in batches:
+            out_bytes = []
+            for _, row in pdf.iterrows():
+                img = codec.decode(bytes(row["bytes"]), row["fmt"])
+                ab = row["_ab"]
+                if ab is not None:
+                    img = img.astype(np.float64)
+                    for entry in ab:
+                        b_idx = int(entry["band"])
+                        if b_idx < img.shape[2]:
+                            img[:, :, b_idx] = entry["a"] * img[:, :, b_idx] + entry["b"]
+                    img = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+                out_bytes.append(bytearray(codec.encode(img, row["fmt"])))
+            pdf = pdf.copy()
+            pdf["bytes"] = out_bytes
+            yield pdf[[f.name for f in schema.fields]]
+
+    return joined.mapInPandas(run, schema)
+
+
+def apply_gamma(df: DataFrame, gamma_by_image: DataFrame, alpha: float = 1.0) -> DataFrame:
+    """P_out = alpha * P_in^gamma, gamma joined per image
+    (local_match.py:544-573; gamma = log(M_ref)/log(M_in) computed upstream)."""
+    joined = df.join(F.broadcast(gamma_by_image.select("image_id", "gamma")), "image_id", "left")
+    schema = df.schema
+
+    def run(batches):
+        for pdf in batches:
+            out_bytes = []
+            for _, row in pdf.iterrows():
+                img = codec.decode(bytes(row["bytes"]), row["fmt"])
+                g = row["gamma"]
+                if g is not None and not pd.isna(g):
+                    scaled = alpha * np.power(img.astype(np.float64) / 255.0, float(g)) * 255.0
+                    img = np.clip(np.rint(scaled), 0, 255).astype(np.uint8)
+                out_bytes.append(bytearray(codec.encode(img, row["fmt"])))
+            pdf = pdf.copy()
+            pdf["bytes"] = out_bytes
+            yield pdf[[f.name for f in schema.fields]]
+
+    return joined.mapInPandas(run, schema)
+
+
+def stretch_percentile(df: DataFrame, breakpoints: list[tuple[float, float]]) -> DataFrame:
+    """Piecewise-linear stretch with per-image percentile breakpoints
+    (stretch_spectral_values.py:46-145). `breakpoints`: [(pct_in, value_out)]
+    — pct_in in [0,100] resolved per image per band via np.percentile
+    (exact, matching np.nanpercentile linear interpolation), then np.interp."""
+    pcts = [p for p, _ in breakpoints]
+    outs = [v for _, v in breakpoints]
+
+    def k(img, row):
+        f = img.astype(np.float64)
+        out = np.empty_like(f)
+        for b in range(f.shape[2]):
+            xs = np.percentile(f[:, :, b], pcts)
+            # np.interp needs increasing xs; collapse ties
+            xs = np.maximum.accumulate(xs)
+            out[:, :, b] = np.interp(f[:, :, b], xs, outs)
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+    return _transform_bytes(df, k)
+
+
+def ndwi_mask(df: DataFrame, green_band: int = 1, nir_band: int = 2, threshold: float = 0.0) -> DataFrame:
+    """(G - NIR)/(G + NIR) > threshold -> binary mask image
+    (seagrass_lib.py:337-342). Requires >= 3 bands; 1-band rows pass
+    through unchanged."""
+
+    def k(img, row):
+        if img.shape[2] <= max(green_band, nir_band):
+            return img
+        g = img[:, :, green_band].astype(np.float64)
+        n = img[:, :, nir_band].astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            idx = np.where(g + n > 0, (g - n) / (g + n), 0.0)
+        return (np.where(idx > threshold, 255, 0).astype(np.uint8))[:, :, None]
+
+    # mask output is 1-band -> w/h preserved, bands becomes 1
+    out = _transform_bytes(df, k)
+    return out.withColumn("bands", F.lit(1))
+
+
+def replace_connected(df: DataFrame, find: int, replace: int, min_size: int, connectivity: int = 4) -> DataFrame:
+    """Replace `find`-valued pixels only in connected components of size >=
+    min_size (replace_band_consistant_values_with_value.py:78-121; the
+    reference uses scipy.ndimage.label — re-implemented here as two-pass
+    union-find CCL, scipy being unavailable)."""
+
+    def k(img, row):
+        mask = np.all(img == find, axis=2)
+        if not mask.any():
+            return img
+        labels, counts = _label_components(mask, connectivity)
+        big = counts >= min_size
+        kill = big[labels] & mask
+        out = img.copy()
+        out[kill] = np.uint8(replace)
+        return out
+
+    return _transform_bytes(df, k)
+
+
+def _label_components(mask: np.ndarray, connectivity: int = 4) -> tuple[np.ndarray, np.ndarray]:
+    """Two-pass connected-component labeling with union-find (pure numpy +
+    small python merge loop). Returns (label_image, counts_by_label);
+    label 0 = background, counts[0] = 0."""
+    h, w = mask.shape
+    labels = np.zeros((h, w), np.int64)
+    parent = [0]
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    nxt = 1
+    for r in range(h):
+        row = mask[r]
+        for c in range(w):
+            if not row[c]:
+                continue
+            up = labels[r - 1, c] if r > 0 else 0
+            left = labels[r, c - 1] if c > 0 else 0
+            neigh = [x for x in (up, left) if x]
+            if connectivity == 8 and r > 0:
+                if c > 0 and labels[r - 1, c - 1]:
+                    neigh.append(labels[r - 1, c - 1])
+                if c < w - 1 and labels[r - 1, c + 1]:
+                    neigh.append(labels[r - 1, c + 1])
+            if not neigh:
+                parent.append(nxt)
+                labels[r, c] = nxt
+                nxt += 1
+            else:
+                m = min(find(x) for x in neigh)
+                labels[r, c] = m
+                for x in neigh:
+                    rx = find(x)
+                    if rx != m:
+                        parent[rx] = m
+    # flatten
+    flat = np.array([find(i) for i in range(nxt)], np.int64)
+    # relabel compactly
+    uniq, inv = np.unique(flat, return_inverse=True)
+    labels = inv[labels]
+    counts = np.bincount(labels.ravel())
+    counts[0] = 0
+    return labels, counts
+
+
+# ------------------------------------------------------------------ stats
+def band_stats(df: DataFrame, nodata: int | None = None) -> DataFrame:
+    """Per-image per-band masked mean/std/min/max/count
+    (global_match.py:152-164; std is population std like np.std)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                img = codec.decode(bytes(row["bytes"]), row["fmt"]).astype(np.float64)
+                for b in range(img.shape[2]):
+                    band = img[:, :, b]
+                    valid = band[band != nodata] if nodata is not None else band.ravel()
+                    if valid.size == 0:
+                        rows.append((row["image_id"], b, 0.0, 0.0, 0.0, 0.0, 0))
+                    else:
+                        rows.append(
+                            (row["image_id"], b, float(valid.mean()), float(valid.std()),
+                             float(valid.min()), float(valid.max()), int(valid.size))
+                        )
+            yield pd.DataFrame(rows, columns=["image_id", "band", "mean", "std", "min", "max", "n_valid"])
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(run, STATS_SCHEMA)
+
+
+PRED_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("band", IntegerType(), False),
+        StructField("condition", StringType(), False),
+        StructField("n_match", LongType(), False),
+        StructField("std_match", DoubleType(), False),
+        StructField("n_total", LongType(), False),
+    ]
+)
+
+
+def parse_predicate(cond: str):
+    """'>4' / '<10' / '3' -> numpy predicate (count_raster_values.py:5-17)."""
+    cond = cond.strip()
+    if cond.startswith(">"):
+        v = float(cond[1:])
+        return lambda a: a > v
+    if cond.startswith("<"):
+        v = float(cond[1:])
+        return lambda a: a < v
+    v = float(cond)
+    return lambda a: a == v
+
+
+def predicate_counts(df: DataFrame, conditions: list) -> DataFrame:
+    """Per-image per-band per-condition (count, std-of-matching, total) —
+    count_raster_values.py:31-77. A list condition is an AND-conjunction
+    (count_raster_values.py:19-29)."""
+    norm = [(c if isinstance(c, list) else [c]) for c in conditions]
+    names = ["&".join(c) for c in norm]
+    preds = [[parse_predicate(x) for x in c] for c in norm]
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                img = codec.decode(bytes(row["bytes"]), row["fmt"]).astype(np.float64)
+                for b in range(img.shape[2]):
+                    band = img[:, :, b].ravel()
+                    for name, plist in zip(names, preds):
+                        m = np.ones(band.shape, bool)
+                        for p in plist:
+                            m &= p(band)
+                        sel = band[m]
+                        rows.append(
+                            (row["image_id"], b, name, int(m.sum()),
+                             float(sel.std()) if sel.size else 0.0, int(band.size))
+                        )
+            yield pd.DataFrame(rows, columns=["image_id", "band", "condition", "n_match", "std_match", "n_total"])
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(run, PRED_SCHEMA)
+
+
+def predicate_rollup(stats: DataFrame) -> DataFrame:
+    """Cross-image rollup per condition (count_raster_values.py:100-113):
+    total matches, avg per-image count, avg std, total pixels."""
+    return stats.groupBy("condition").agg(
+        F.sum("n_match").alias("total_match"),
+        F.avg("n_match").alias("avg_match"),
+        F.avg("std_match").alias("avg_std"),
+        F.sum("n_total").alias("total_pixels"),
+    )
