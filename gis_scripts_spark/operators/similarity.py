@@ -14,7 +14,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import IntegerType, LongType, StructField, StructType
 
 
 def _dot(a, b):
@@ -33,12 +33,68 @@ def cosine_topk(
     vec: str = "embedding",
     queries_df: DataFrame | None = None,
 ) -> DataFrame:
-    """Exact brute-force cosine top-k (the correctness baseline).
+    """Exact brute-force cosine top-k via broadcast candidate matrix +
+    per-batch BLAS matmul inside mapInPandas.
 
     Returns (query_id, neighbor_id, rank), rank ordered by (sim desc,
-    neighbor_id) — deterministic tie-break. O(|Q|·|P|) compare, all
-    JVM-side; at scale use `lsh_topk`.
+    neighbor_id) — deterministic tie-break. The candidate matrix is
+    broadcast (fits executor memory up to ~10^7×128 float32); beyond that
+    use `lsh_topk` (bucketed candidates) — the IVF-style scale path.
     """
+    spark = df.sparkSession
+    cand_pdf = df.select(id_col, vec).toPandas().sort_values(id_col)
+    cand_ids = cand_pdf[id_col].to_numpy()
+    m = np.stack([np.asarray(v, np.float64) for v in cand_pdf[vec]])
+    m_norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(cand_ids)
+    b_mat = spark.sparkContext.broadcast(m_norm)
+
+    qs = queries_df if queries_df is not None else df
+    qid_type = qs.schema[id_col].dataType
+    out_schema = StructType(
+        [
+            StructField("query_id", qid_type),
+            StructField("neighbor_id", qid_type),
+            StructField("rank", IntegerType()),
+        ]
+    )
+
+    def run(batches):
+        ids = b_ids.value
+        mat = b_mat.value
+        for pdf in batches:
+            q = np.stack([np.asarray(v, np.float64) for v in pdf[vec]])
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = q @ mat.T  # (nq, nc) BLAS
+            qids = pdf[id_col].to_numpy()
+            # exclude self by id
+            out_q, out_n, out_r = [], [], []
+            for row_i in range(len(qids)):
+                s = sims[row_i]
+                mask_self = ids == qids[row_i]
+                s = np.where(mask_self, -np.inf, s)
+                # top-k by (sim desc, id asc): ids pre-sorted + stable sort
+                order = np.argsort(-s, kind="stable")[:k]
+                order = order[np.isfinite(s[order])]
+                out_q.extend([qids[row_i]] * len(order))
+                out_n.extend(ids[order])
+                out_r.extend(range(1, len(order) + 1))
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "rank": np.asarray(out_r, np.int32)}
+            )
+
+    return qs.select(id_col, vec).mapInPandas(run, out_schema)
+
+
+def cosine_topk_sql(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    queries_df: DataFrame | None = None,
+) -> DataFrame:
+    """Pure-SQL variant (higher-order array functions + window) — no Python
+    at all; kept for plan comparisons and as the no-broadcast fallback."""
     pts = with_norm(df.select(F.col(id_col).alias("_pid"), F.col(vec).alias("_pv")), "_pv", "_pn")
     qs = queries_df if queries_df is not None else df
     qrs = with_norm(qs.select(F.col(id_col).alias("_qid"), F.col(vec).alias("_qv")), "_qv", "_qn")
