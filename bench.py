@@ -39,6 +39,14 @@ BENCH_QUERIES = [
     "dedup_exact",
     "text_stats",
     "embed_cosine_top3",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "text_quality",
+    "topk_events_per_user",
+    "zonal_event_stats",
+    "mosaic_last_wins",
+    "distinct_classes",
 ]
 
 

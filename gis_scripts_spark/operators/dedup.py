@@ -1,0 +1,318 @@
+"""Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard (task-mandated first-class ops; the reference has
+no text surface — its nearest analogue is the skip-if-done anti-join J7).
+
+All hashing is derived from blake2b of the token bytes — deterministic
+across partitions, parallelism levels and runs (no Python hash()
+randomization, no partition-index dependence).
+
+Scale shapes:
+- exact: md5 groupBy — one shuffle, partial agg map-side.
+- minhash: per-doc signature in one vectorized pandas UDF; LSH bands ->
+  (band, band_hash) explode; candidates = self-join on the band key
+  (equi-join, AQE-skew-safe) deduped report-once by first shared band;
+  exact Jaccard verify inside the join output.
+- simhash: 64-bit signature; Hamming<=3 via 4x16-bit band blocking
+  (pigeonhole: any pair within distance 3 shares an exact 16-bit quarter).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """Stable 64-bit hashes of tokens (blake2b, partition-independent)."""
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big") >> 3
+            for t in tokens
+        ),
+        dtype=np.int64,
+        count=len(tokens),
+    )
+
+
+def _shingles(text: str, n: int) -> list[str]:
+    toks = text.split(" ")
+    if n <= 1 or len(toks) < n:
+        return toks
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+# ------------------------------------------------------------------- exact
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(text_md5, canonical_id, n_copies) — hash-groupBy exact dedup."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_md5")).agg(
+        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+# ----------------------------------------------------------------- minhash
+def minhash_signature_udf(n_perm: int = 128, shingle_n: int = 3, seed: int = 13):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, n_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, n_perm, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig(text: pd.Series) -> pd.Series:
+        out = []
+        for t in text:
+            hs = _token_hashes(_shingles(t, shingle_n))
+            if len(hs) == 0:
+                out.append([0] * n_perm)
+                continue
+            # (a*h + b) mod p, min over shingles, per permutation
+            vals = (a[:, None] * hs[None, :] + b[:, None]) % _MERSENNE
+            out.append(vals.min(axis=1).tolist())
+        return pd.Series(out)
+
+    return sig
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    verify: bool = True,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH,
+    optionally verified with the exact shingle-set Jaccard.
+
+    Returns (id_a, id_b, est_jaccard [, jaccard]). Report-once: a pair is
+    emitted only from the FIRST band that matches (min band id)."""
+    rows_per_band = n_perm // bands
+    sig = minhash_signature_udf(n_perm, shingle_n)
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")).withColumn(
+        "_sig", sig(F.col("_text"))
+    )
+
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at("_sig", bi * rows_per_band + j + 1).cast("string")
+                        for j in range(rows_per_band)
+                    ],
+                )
+            ).alias("bhash"),
+        )
+        for bi in range(bands)
+    ]
+    banded = base.withColumn("_band", F.explode(F.array(*band_cols))).select(
+        "_id", "_text", "_sig", F.col("_band.band").alias("band"), F.col("_band.bhash").alias("bhash")
+    )
+
+    left = banded.select(
+        F.col("_id").alias("id_a"), F.col("_text").alias("_ta"), F.col("_sig").alias("_sa"),
+        "band", "bhash",
+    )
+    right = banded.select(
+        F.col("_id").alias("id_b"), F.col("_text").alias("_tb"), "band", "bhash"
+    )
+    pairs = left.join(right, ["band", "bhash"]).filter(F.col("id_a") < F.col("id_b"))
+    w = Window.partitionBy("id_a", "id_b").orderBy("band")
+    pairs = pairs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+
+    # estimated jaccard from signature agreement (JVM-side zip_with)
+    sig_b = base.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"))
+    pairs = pairs.join(sig_b, "id_b")
+    est = (
+        F.aggregate(
+            F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(n_perm)
+    ).alias("est_jaccard")
+
+    if not verify:
+        return pairs.select("id_a", "id_b", est)
+
+    @F.pandas_udf("double")
+    def jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.empty(len(ta))
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            sa = set(_shingles(x, shingle_n))
+            sb = set(_shingles(y, shingle_n))
+            u = len(sa | sb)
+            out[i] = len(sa & sb) / u if u else 0.0
+        return pd.Series(out)
+
+    out = pairs.select("id_a", "id_b", est, jaccard(F.col("_ta"), F.col("_tb")).alias("jaccard"))
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+# ----------------------------------------------------------------- simhash
+def simhash_udf(shingle_n: int = 1):
+    @F.pandas_udf(LongType())
+    def sim(text: pd.Series) -> pd.Series:
+        out = np.empty(len(text), np.int64)
+        for i, t in enumerate(text):
+            hs = _token_hashes(_shingles(t, shingle_n)).view(np.uint64)
+            if len(hs) == 0:
+                out[i] = 0
+                continue
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int64)
+            v = (2 * bits - 1).sum(axis=0)
+            val = 0
+            for j in range(64):
+                if v[j] > 0:
+                    val |= 1 << j
+            out[i] = val - (1 << 64) if val >= (1 << 63) else val
+        return pd.Series(out)
+
+    return sim
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, blocked on
+    16-bit quarters (pigeonhole-complete for max_hamming <= 3).
+
+    Returns (id_a, id_b, hamming)."""
+    sim = simhash_udf(shingle_n)
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")).withColumn(
+        "_sh", sim(F.col("_t"))
+    )
+    quarters = F.array(
+        *[
+            F.struct(
+                F.lit(q).alias("q"),
+                F.shiftright("_sh", 16 * q).bitwiseAND(F.lit(0xFFFF)).alias("qv"),
+            )
+            for q in range(4)
+        ]
+    )
+    blocked = base.withColumn("_q", F.explode(quarters)).select(
+        "_id", "_sh", F.col("_q.q").alias("q"), F.col("_q.qv").alias("qv")
+    )
+    left = blocked.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa"), "q", "qv")
+    right = blocked.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sb"), "q", "qv")
+    pairs = left.join(right, ["q", "qv"]).filter(F.col("id_a") < F.col("id_b"))
+    w = Window.partitionBy("id_a", "id_b").orderBy("q")
+    pairs = pairs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming")
+    return pairs.select("id_a", "id_b", hamming).filter(F.col("hamming") <= max_hamming)
+
+
+# ----------------------------------------------------- exact word jaccard
+def word_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """Exact distinct-word Jaccard similarity join, pure DataFrame ops
+    (inverted-index style: explode words -> pair counts -> |A∩B| /
+    (|A|+|B|-|A∩B|)). The exact oracle for the MinHash path.
+
+    Returns (id_a, id_b, jaccard)."""
+    words = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.array_distinct(F.split(text_col, " "))).alias("w")
+    )
+    sizes = words.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    a = words.select(F.col("_id").alias("id_a"), "w")
+    b = words.select(F.col("_id").alias("id_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b"))
+    out = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram (word shingle) Jaccard similarity join — pure DataFrame
+    ops, no Python: posexplode tokens -> lead() window builds shingles ->
+    inverted-index self-join -> |A∩B|/(|A|+|B|-|A∩B|).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b. The shuffle keys are
+    shingles: random text collides rarely, near-dups collide heavily —
+    exactly the candidate sparsity LSH exploits; this exact variant is the
+    oracle for `minhash_lsh_pairs`."""
+    toks = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(F.split(text_col, " ")).alias("pos", "w")
+    )
+    win = Window.partitionBy("_id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, n)]
+    g = parts[0]
+    for p in parts[1:]:
+        g = F.concat(g, F.lit(" "), p)  # F.concat null-propagates at ends
+    grams = toks.select("_id", g.alias("g")).filter(F.col("g").isNotNull()).distinct()
+    sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    a = grams.select(F.col("_id").alias("id_a"), "g")
+    b = grams.select(F.col("_id").alias("id_b"), "g")
+    inter = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    na = sizes.select(F.col("_id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("_id").alias("id_b"), F.col("n").alias("n_b"))
+    out = (
+        inter.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+    return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+# -------------------------------------------------------------- clustering
+def cluster_pairs(pairs_pdf: pd.DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> pd.DataFrame:
+    """Union-find over a (small, collected) pair list -> (doc_id,
+    cluster_id=min member). The driver-side finisher of a dedup run; at
+    10^12 scale replace with iterative Spark label propagation (join-based
+    min-propagation until fixpoint)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for _, r in pairs_pdf.iterrows():
+        ra, rb = find(r[id_a]), find(r[id_b])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    rows = [(x, find(x)) for x in list(parent)]
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])

@@ -18,10 +18,20 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from gis_scripts_spark.geom import wkb as wkb_mod
 from gis_scripts_spark.index import cells as cells_mod
 from gis_scripts_spark.index import tiles as tiles_mod
-from gis_scripts_spark.operators import grid_agg, knn, overlap_join, pip_join, similarity
+from gis_scripts_spark.operators import (
+    dedup,
+    grid_agg,
+    knn,
+    overlap_join,
+    pip_join,
+    similarity,
+    text,
+)
 
 # ---- shared derivation constants (mirrored literally in the oracle SQL) ----
 LON_MULT, LON_MOD = 2654435761, 360000
@@ -340,6 +350,153 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
 """
 
 
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trigram-Jaccard near-dup join (oracle for the MinHash path)."""
+    docs = _pq(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = """
+WITH toks AS (SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+                     unnest(string_split(text, ' ')) AS w FROM documents),
+tri AS (SELECT doc_id, w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS g
+        FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+dtri AS (SELECT DISTINCT doc_id, g FROM tri WHERE g IS NOT NULL),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM dtri GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+          FROM dtri a JOIN dtri b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT id_a, id_b, ROUND(c * 1.0 / (sa.n + sb.n - c), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
+"""
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates, exact-Jaccard verified (rows-only
+    driver check; recall vs the exact op asserted in pytest)."""
+    docs = _pq(spark, sf_dir, "documents")
+    out = dedup.minhash_lsh_pairs(docs, n_perm=128, bands=32, shingle_n=3, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming<=3 near-dup pairs (rows-only driver check)."""
+    docs = _pq(spark, sf_dir, "documents")
+    return dedup.simhash_pairs(docs, max_hamming=3, shingle_n=1)
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality features + lang-ID heuristic (rows-only driver check)."""
+    docs = _pq(spark, sf_dir, "documents")
+    out = text.with_quality_score(text.with_token_stats(docs))
+    out = out.withColumn("lang_pred", text.lang_id_udf()(F.col("text")))
+    out = out.withColumn("fingerprint", text.fingerprint_udf()(F.col("text")))
+    return out.select(
+        "doc_id", "n_tokens", "n_bpe_ish",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("mean_word_len", 6).alias("mean_word_len"),
+        F.round("quality_score", 2).alias("quality_score"),
+        "lang_pred", "fingerprint",
+    )
+
+
+def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 events by value per user — window/top-k semantics (§2.6)."""
+    ev = _pq(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id", F.round("value", 6).alias("value"), "rk")
+    )
+
+
+SQL_TOPK_EVENTS = """
+SELECT user_id, event_id, ROUND(value, 6) AS value, rk FROM (
+  SELECT user_id, event_id, value,
+         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS INTEGER) AS rk
+  FROM events) WHERE rk <= 3
+"""
+
+
+def q_zonal_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal class histogram + percent (Assess_Agreement.R:52-66 semantics):
+    PIP join events->AOI, per-poly per-type counts and percentages."""
+    ev = derived_lonlat(_pq(spark, sf_dir, "events"), "event_id")
+    polys = _aoi_polys_df(spark, sf_dir)
+    pairs = pip_join.pip_join(ev, polys, z=7)
+    counts = pairs.groupBy("poly_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("poly_id")
+    return counts.select(
+        "poly_id", "event_type", "n",
+        F.round(F.col("n") * 100.0 / F.sum("n").over(w), 6).alias("pct"),
+    )
+
+
+SQL_ZONAL_EVENTS = f"""
+WITH pts AS (SELECT event_id, event_type, {_SQL_LON.format(k='event_id')} AS lon,
+                    {_SQL_LAT.format(k='event_id')} AS lat FROM events),
+rects AS ({_SQL_NATION_RECTS}),
+pairs AS (SELECT event_id, event_type, poly_id FROM pts JOIN rects
+          ON lon > x0 AND lon < x1 AND lat > y0 AND lat < y1),
+counts AS (SELECT poly_id, event_type, COUNT(*) AS n FROM pairs GROUP BY 1, 2)
+SELECT poly_id, event_type, n,
+       ROUND(n * 100.0 / SUM(n) OVER (PARTITION BY poly_id), 6) AS pct
+FROM counts
+"""
+
+
+def q_mosaic_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mosaic overlap resolution (§2.7): per grid cell the LATEST event
+    wins (ts desc, event_id desc tie-break) — the deterministic last-wins
+    merge the reference leaves implicit in gdal_merge."""
+    ev = derived_lonlat(_pq(spark, sf_dir, "events"), "event_id")
+    ev = ev.withColumn("cell", cells_mod.cell_col(F.col("lon"), F.col("lat"), 6))
+    w = Window.partitionBy("cell").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cell", "event_id", F.round("value", 6).alias("value"))
+    )
+
+
+SQL_MOSAIC = f"""
+WITH pts AS (SELECT event_id, ts, value, {_SQL_LON.format(k='event_id')} AS lon,
+                    {_SQL_LAT.format(k='event_id')} AS lat FROM events),
+cells AS (SELECT event_id, ts, value,
+        (CAST(6 AS BIGINT) << 58)
+        + (LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * 64.0) AS BIGINT), 0), 63) << 29)
+        + LEAST(GREATEST(CAST(FLOOR((90.0 - lat) / 180.0 * 64.0) AS BIGINT), 0), 63) AS cell
+      FROM pts)
+SELECT cell, event_id, ROUND(value, 6) AS value FROM (
+  SELECT cell, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY ts DESC, event_id DESC) AS rk
+  FROM cells) WHERE rk = 1
+"""
+
+
+def q_distinct_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT + conditional counts per segment (A3/A12 semantics on the
+    relational layer)."""
+    ev = _pq(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.when(F.col("value") > 100.0, 1).otherwise(0)).alias("n_big"),
+        F.round(F.stddev_pop(F.when(F.col("value") > 100.0, F.col("value"))), 6).alias("std_big"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+SQL_DISTINCT_CLASSES = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+       ROUND(STDDEV_POP(CASE WHEN value > 100.0 THEN value END), 6) AS std_big,
+       COUNT(*) AS n_total
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -352,6 +509,14 @@ QUERIES: dict = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "embed_cosine_top3": q_embed_topk,
+    "ngram_jaccard_pairs": q_ngram_jaccard,
+    "minhash_lsh_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "text_quality": q_text_quality,
+    "topk_events_per_user": q_topk_events_per_user,
+    "zonal_event_stats": q_zonal_event_stats,
+    "mosaic_last_wins": q_mosaic_last_wins,
+    "distinct_classes": q_distinct_classes,
 }
 
 ORACLES: dict[str, str] = {
@@ -366,4 +531,12 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_stats": SQL_TEXT_STATS,
     "embed_cosine_top3": SQL_EMBED_TOPK,
+    "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+    # minhash_lsh_pairs, simhash_pairs, text_quality: engine-defined hashing
+    # heuristics with no ANSI-SQL equivalent -> rows-only driver check;
+    # their exactness/recall is asserted in tests/test_dedup_text.py.
+    "topk_events_per_user": SQL_TOPK_EVENTS,
+    "zonal_event_stats": SQL_ZONAL_EVENTS,
+    "mosaic_last_wins": SQL_MOSAIC,
+    "distinct_classes": SQL_DISTINCT_CLASSES,
 }

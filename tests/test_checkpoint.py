@@ -1,0 +1,78 @@
+"""Checkpoint/restart + lineage metrics (north rule; FIXTURES.md inv. 5):
+resumed pipeline skips committed stages and reproduces identical outputs."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from gis_scripts_spark import pipelines
+from gis_scripts_spark.sources import snaptable, synth
+
+
+def test_snapshot_append_overwrite_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    df1 = spark.range(5).select(F.col("id"))
+    s1 = snaptable.write_snapshot(df1, t, stage="s1")
+    df2 = spark.range(5, 8).select(F.col("id"))
+    s2 = snaptable.write_snapshot(df2, t, stage="s2", mode="append")
+    assert snaptable.read_snapshot(spark, t).count() == 8
+    # time travel to s1
+    assert snaptable.read_snapshot(spark, t, s1["id"]).count() == 5
+    # overwrite truncates lineage
+    s3 = snaptable.write_snapshot(spark.range(2), t, stage="s3", mode="overwrite")
+    assert snaptable.read_snapshot(spark, t).count() == 2
+    assert snaptable.read_snapshot(spark, t, s2["id"]).count() == 8
+    # idempotent stage: re-committing s1 is a no-op returning the old record
+    again = snaptable.write_snapshot(spark.range(100), t, stage="s1")
+    assert again["id"] == s1["id"]
+    assert [s["stage"] for s in snaptable.snapshots(t)] == ["s1", "s2", "s3"]
+
+
+def test_pipeline_restart_identical_output(spark, tmp_path):
+    root1 = str(tmp_path / "run1")
+    root2 = str(tmp_path / "run2")
+    n = 300
+
+    # full run
+    out1 = pipelines.run_image_pipeline(spark, root1, n_images=n)
+    zonal1 = sorted(map(tuple, out1["zonal"].collect()))
+
+    # simulated crash: run only through the tiles stage (fresh root), then
+    # resume the full pipeline — ingest+tiles must be skipped, zonal computed
+    from gis_scripts_spark.metrics import MetricsCollector
+    from gis_scripts_spark.operators import tile_assign
+
+    mc = MetricsCollector(spark)
+    t_images = os.path.join(root2, "images")
+    t_tiles = os.path.join(root2, "tiles")
+    images = synth.images_df(spark, n)
+    snaptable.write_snapshot(images, t_images, stage="ingest")
+    tiles = tile_assign.assign_tiles(
+        snaptable.read_snapshot(spark, t_images), grid_z=7, tile_z=12, s2_level=12
+    ).select("image_id", "lon", "lat", "cell", "tile_z", "tile_x", "tile_y", "quadkey", "s2_cell")
+    snaptable.write_snapshot(tiles, t_tiles, stage="tiles")
+    pre_ids = {s["id"] for s in snaptable.snapshots(t_images)} | {
+        s["id"] for s in snaptable.snapshots(t_tiles)
+    }
+
+    out2 = pipelines.run_image_pipeline(spark, root2, n_images=n, resume=True)
+    post_ids = {s["id"] for s in snaptable.snapshots(t_images)} | {
+        s["id"] for s in snaptable.snapshots(t_tiles)
+    }
+    assert post_ids == pre_ids  # resumed run did NOT rewrite finished stages
+
+    zonal2 = sorted(map(tuple, out2["zonal"].collect()))
+    assert zonal1 == zonal2  # byte-identical final table
+
+
+def test_metrics_table_written(spark, tmp_path):
+    root = str(tmp_path / "mrun")
+    pipelines.run_image_pipeline(spark, root, n_images=200)
+    m = snaptable.read_snapshot(spark, os.path.join(root, "metrics")).toPandas()
+    assert {"run_id", "stage", "partition_id", "rows", "seconds"} <= set(m.columns)
+    assert set(m["stage"]) >= {"ingest", "tiles", "zonal"}
+    assert (m["rows"] >= 0).all()
+    # lineage: per-stage row counts sum to table row counts
+    ingest_rows = m[m["stage"] == "ingest"]["rows"].sum()
+    assert ingest_rows == 200
