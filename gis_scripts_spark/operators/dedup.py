@@ -29,16 +29,39 @@ from pyspark.sql.types import ArrayType, LongType
 _MERSENNE = (1 << 61) - 1
 
 
-def _token_hashes(tokens: list[str]) -> np.ndarray:
-    """Stable 64-bit hashes of tokens (blake2b, partition-independent)."""
-    return np.fromiter(
-        (
+_TOKEN_CACHE: dict[str, int] = {}
+
+
+def _token_hash(t: str) -> int:
+    h = _TOKEN_CACHE.get(t)
+    if h is None:
+        h = _TOKEN_CACHE[t] = (
             int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big") >> 3
-            for t in tokens
-        ),
-        dtype=np.int64,
-        count=len(tokens),
-    )
+        )
+        if len(_TOKEN_CACHE) > 1_000_000:  # bound worker memory
+            _TOKEN_CACHE.clear()
+    return h
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """Stable 64-bit hashes of tokens (blake2b, partition-independent;
+    per-worker vocabulary cache — web text has Zipfian vocab, so the cache
+    hit rate is near 1)."""
+    return np.fromiter((_token_hash(t) for t in tokens), dtype=np.int64, count=len(tokens))
+
+
+def _shingle_hashes(text: str, n: int) -> np.ndarray:
+    """Hashes of word n-gram shingles: per-token blake2b (cached) combined
+    with a polynomial roll — vectorized, equivalent to hashing each shingle
+    string but O(distinct tokens) in hashlib calls."""
+    th = _token_hashes(text.split(" "))
+    if n <= 1 or len(th) < n:
+        return th
+    B = np.int64(1099511628211)
+    out = th[: len(th) - n + 1].copy()
+    for i in range(1, n):
+        out = (out * B + th[i : len(th) - n + 1 + i]) % _MERSENNE
+    return out
 
 
 def _shingles(text: str, n: int) -> list[str]:
@@ -66,7 +89,7 @@ def minhash_signature_udf(n_perm: int = 128, shingle_n: int = 3, seed: int = 13)
     def sig(text: pd.Series) -> pd.Series:
         out = []
         for t in text:
-            hs = _token_hashes(_shingles(t, shingle_n))
+            hs = _shingle_hashes(t, shingle_n)
             if len(hs) == 0:
                 out.append([0] * n_perm)
                 continue
@@ -148,8 +171,8 @@ def minhash_lsh_pairs(
     def jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
         out = np.empty(len(ta))
         for i, (x, y) in enumerate(zip(ta, tb)):
-            sa = set(_shingles(x, shingle_n))
-            sb = set(_shingles(y, shingle_n))
+            sa = set(_shingle_hashes(x, shingle_n).tolist())
+            sb = set(_shingle_hashes(y, shingle_n).tolist())
             u = len(sa | sb)
             out[i] = len(sa & sb) / u if u else 0.0
         return pd.Series(out)
