@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "zonal_event_stats",
     "mosaic_last_wins",
     "distinct_classes",
+    "coverage_join",
+    "percentiles_exact",
+    "coeff_variation",
 ]
 
 

@@ -138,6 +138,70 @@ def _seg_rect_intersect(ax, ay, bx, by, x0, y0, x1, y1) -> bool:
     return t0 <= t1
 
 
+def clip_ring_to_rect(ring: np.ndarray, bb) -> np.ndarray:
+    """Sutherland–Hodgman clip of a ring against an axis-aligned rect.
+    Returns the clipped (closed) ring, possibly empty. Exact for any simple
+    polygon against a convex window — enough for footprint∩AOI-extent
+    coverage (``seagrass_lib.py:185-192`` with rectangular AOIs)."""
+    x0, y0, x1, y1 = bb
+    pts = [tuple(p) for p in ring[:-1]] if np.array_equal(ring[0], ring[-1]) else [tuple(p) for p in ring]
+
+    def clip_edge(points, inside, intersect):
+        out = []
+        n = len(points)
+        for i in range(n):
+            cur, prev = points[i], points[i - 1]
+            cin, pin = inside(cur), inside(prev)
+            if cin:
+                if not pin:
+                    out.append(intersect(prev, cur))
+                out.append(cur)
+            elif pin:
+                out.append(intersect(prev, cur))
+        return out
+
+    def ix_v(xc):
+        def f(a, b):
+            t = (xc - a[0]) / (b[0] - a[0])
+            return (xc, a[1] + t * (b[1] - a[1]))
+
+        return f
+
+    def ix_h(yc):
+        def f(a, b):
+            t = (yc - a[1]) / (b[1] - a[1])
+            return (a[0] + t * (b[0] - a[0]), yc)
+
+        return f
+
+    for inside, ix in (
+        (lambda p: p[0] >= x0, ix_v(x0)),
+        (lambda p: p[0] <= x1, ix_v(x1)),
+        (lambda p: p[1] >= y0, ix_h(y0)),
+        (lambda p: p[1] <= y1, ix_h(y1)),
+    ):
+        pts = clip_edge(pts, inside, ix)
+        if not pts:
+            return np.empty((0, 2))
+    arr = np.asarray(pts)
+    return np.vstack([arr, arr[:1]])
+
+
+def coverage_fraction(rings: list[np.ndarray], bb) -> float:
+    """area(polygon ∩ rect) / area(polygon) — the reference's AOI coverage
+    percent (``seagrass_lib.py:185-192``)."""
+    total = polygon_area(rings)
+    if total <= 0:
+        return 0.0
+    inter = 0.0
+    for k, ring in enumerate(rings):
+        clipped = clip_ring_to_rect(ring, bb)
+        if len(clipped) >= 4:
+            a = abs(ring_area(clipped))
+            inter += a if k == 0 else -a
+    return max(0.0, min(1.0, inter / total))
+
+
 # ------------------------------------------------------------ cell covering
 def cover_polygon(polys: list[list[np.ndarray]], z: int) -> tuple[np.ndarray, np.ndarray]:
     """Covering cells of a (multi)polygon at grid zoom z.

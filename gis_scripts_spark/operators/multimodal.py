@@ -1,0 +1,197 @@
+"""Multimodal binary columns: image / audio / video as opaque bytes with
+typed metadata, processed by Arrow-batched mapInPandas kernels.
+
+Container formats (real, dependency-free — the sandbox has no image/audio
+libs, so images use the engine's own PNG/QNT codecs and audio/video use
+tiny deterministic containers; where a REAL external codec would be needed
+(jpeg/mp3/h264) decode raises NotImplementedError, keeping the Spark-side
+plumbing — schema, batching, partitioning, UDF signatures — fully real and
+tested):
+
+  AUD1: b"AUD1" | u32 sample_rate | u32 n_samples | int16 PCM samples
+  VID1: b"VID1" | u32 n_frames | n x (u32 len | QNT-encoded frame)
+
+Operators: decode stats, image resize (area resample), audio features
+(rms / zero-crossings / duration), video frame sampling (explode every
+k-th frame as its own row).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from gis_scripts_spark.raster import codec
+
+# ------------------------------------------------------------- containers
+def audio_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    s = np.asarray(samples)
+    s16 = np.clip(np.rint(s * 32767.0), -32768, 32767).astype("<i2") if s.dtype.kind == "f" else s.astype("<i2")
+    return b"AUD1" + struct.pack("<II", sample_rate, len(s16)) + s16.tobytes()
+
+
+def audio_decode(buf: bytes) -> tuple[np.ndarray, int]:
+    if bytes(buf[:4]) != b"AUD1":
+        raise NotImplementedError("only AUD1 PCM supported in-sandbox (no mp3/ogg codecs)")
+    sr, n = struct.unpack_from("<II", buf, 4)
+    return np.frombuffer(buf, dtype="<i2", count=n, offset=12).astype(np.float64) / 32767.0, sr
+
+
+def video_encode(frames: list[np.ndarray]) -> bytes:
+    out = [b"VID1", struct.pack("<I", len(frames))]
+    for f in frames:
+        enc = codec.qnt_encode(f)
+        out.append(struct.pack("<I", len(enc)))
+        out.append(enc)
+    return b"".join(out)
+
+
+def video_frame_count(buf: bytes) -> int:
+    if bytes(buf[:4]) != b"VID1":
+        raise NotImplementedError("only VID1 supported in-sandbox (no h264/vp9 codecs)")
+    return struct.unpack_from("<I", buf, 4)[0]
+
+
+def video_iter_frames(buf: bytes):
+    n = video_frame_count(buf)
+    off = 8
+    for i in range(n):
+        (ln,) = struct.unpack_from("<I", buf, off)
+        off += 4
+        yield i, bytes(buf[off : off + ln])
+        off += ln
+
+
+# ---------------------------------------------------------------- image ops
+def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Area/nearest resample of the image `bytes` column to (out_w, out_h);
+    updates w/h columns. Pure numpy index-math resample (nearest for
+    upscale, block-mean for integer downscale)."""
+    schema = df.schema
+
+    def run(batches):
+        for pdf in batches:
+            out_bytes = []
+            for _, row in pdf.iterrows():
+                img = codec.decode(bytes(row["bytes"]), row["fmt"])
+                h, w = img.shape[:2]
+                if h % out_h == 0 and w % out_w == 0:
+                    img2 = (
+                        img.reshape(out_h, h // out_h, out_w, w // out_w, img.shape[2])
+                        .mean(axis=(1, 3))
+                        .round()
+                        .astype(np.uint8)
+                    )
+                else:
+                    ry = np.floor(np.arange(out_h) * h / out_h).astype(np.int64)
+                    rx = np.floor(np.arange(out_w) * w / out_w).astype(np.int64)
+                    img2 = img[np.ix_(ry, rx)]
+                out_bytes.append(bytearray(codec.encode(img2, row["fmt"])))
+            pdf = pdf.copy()
+            pdf["bytes"] = out_bytes
+            pdf["w"] = np.int32(out_w)
+            pdf["h"] = np.int32(out_h)
+            yield pdf[[f.name for f in schema.fields]]
+
+    return df.mapInPandas(run, schema)
+
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("mean_px", DoubleType(), False),
+        StructField("std_px", DoubleType(), False),
+        StructField("edge_density", DoubleType(), False),
+        StructField("phash", LongType(), False),
+    ]
+)
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """Cheap visual features: global mean/std, gradient edge density,
+    perceptual hash — the feature-extraction stage of a multimodal
+    training-data pipeline."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                img = codec.decode(bytes(row["bytes"]), row["fmt"]).astype(np.float64)
+                gray = img.mean(axis=2)
+                gx = np.abs(np.diff(gray, axis=1)).mean()
+                gy = np.abs(np.diff(gray, axis=0)).mean()
+                rows.append(
+                    (row["image_id"], float(img.mean()), float(img.std()),
+                     float((gx + gy) / 2.0), codec.phash64(img))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_FEATURES_SCHEMA.fields])
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------- audio ops
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("clip_id", StringType(), False),
+        StructField("duration_sec", DoubleType(), False),
+        StructField("rms", DoubleType(), False),
+        StructField("zero_cross_rate", DoubleType(), False),
+        StructField("peak", DoubleType(), False),
+    ]
+)
+
+
+def audio_features(df: DataFrame, id_col: str = "clip_id", bytes_col: str = "bytes") -> DataFrame:
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                wave, sr = audio_decode(bytes(row[bytes_col]))
+                zc = float(np.mean(np.abs(np.diff(np.signbit(wave).astype(np.int8))))) if len(wave) > 1 else 0.0
+                rows.append(
+                    (row[id_col], len(wave) / sr, float(np.sqrt(np.mean(wave**2))),
+                     zc, float(np.abs(wave).max(initial=0.0)))
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return df.select(id_col, bytes_col).mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------- video ops
+FRAME_SCHEMA = StructType(
+    [
+        StructField("video_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_bytes", BinaryType(), False),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_k: int = 2, id_col: str = "video_id", bytes_col: str = "bytes") -> DataFrame:
+    """Explode every k-th frame of each video row into its own row — the
+    UDTF-shaped frame-sampling stage (one video in, many frames out)."""
+
+    def run(batches):
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for _, row in pdf.iterrows():
+                for i, frame in video_iter_frames(bytes(row[bytes_col])):
+                    if i % every_k == 0:
+                        ids.append(row[id_col])
+                        idxs.append(i)
+                        frames.append(bytearray(frame))
+            yield pd.DataFrame({"video_id": ids, "frame_idx": np.asarray(idxs, np.int32), "frame_bytes": frames})
+
+    return df.select(id_col, bytes_col).mapInPandas(run, FRAME_SCHEMA)

@@ -177,3 +177,29 @@ def pip_join(
 
 def cell_expr(lon: str, lat: str, z: int):
     return cells_mod.cell_col(F.col(lon), F.col(lat), z)
+
+
+def measure_hot_cells(
+    points_df: DataFrame,
+    z: int,
+    lon: str = "lon",
+    lat: str = "lat",
+    skew_factor: float = 8.0,
+    sample_fraction: float | None = None,
+) -> list[int]:
+    """Measured skew detection (SURVEY.md §4.2): cells whose row count
+    exceeds `skew_factor` x the mean per-cell count. Feed the result into
+    pip_join(salt=..., hot_cells=...). Geotagged data is Zipf-like per cell
+    (hot-spot cities/coastlines); AQE's skew-join splitting handles moderate
+    skew, this handles the single-monster-cell case. Use `sample_fraction`
+    to estimate from a sample at very large scale."""
+    pts = points_df
+    if sample_fraction:
+        pts = pts.sample(fraction=sample_fraction, seed=7)
+    counts = (
+        pts.withColumn("cell", cell_expr(lon, lat, z)).groupBy("cell").count()
+    )
+    stats = counts.agg(F.avg("count").alias("mean")).collect()[0]
+    threshold = float(stats["mean"]) * skew_factor
+    hot = counts.filter(F.col("count") > threshold).select("cell").collect()
+    return [int(r[0]) for r in hot]

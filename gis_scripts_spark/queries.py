@@ -497,6 +497,84 @@ FROM events GROUP BY event_type
 """
 
 
+def q_coverage_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Footprint∩AOI coverage percent (J3, seagrass_lib.py:185-192) —
+    engine runs the generic Sutherland–Hodgman clip; the oracle uses the
+    closed rect∩rect form."""
+    from gis_scripts_spark.operators import coverage_join as cj
+
+    boxes = _supplier_boxes(_pq(spark, sf_dir, "supplier")).collect()
+    fps = pd.DataFrame(
+        {
+            "image_id": [f"fp_{int(r['id']):04d}" for r in boxes],
+            "wkb": [
+                bytearray(wkb_mod.bbox_to_wkb(r["x_min"], r["y_min"], r["x_max"], r["y_max"]))
+                for r in boxes
+            ],
+        }
+    )
+    fp_df = spark.createDataFrame(fps)
+    nations = _pq(spark, sf_dir, "nation").select("n_nationkey").collect()
+    rects = pd.DataFrame(
+        [
+            {"aoi_id": f"aoi_{int(r[0])}", **dict(zip(("x_min", "y_min", "x_max", "y_max"), _nation_rect(int(r[0]))))}
+            for r in nations
+        ]
+    )
+    out = cj.coverage_join(fp_df, spark.createDataFrame(rects), z=6, rect_id="aoi_id")
+    return out.select("image_id", "aoi_id", F.round("coverage", 4).alias("coverage"))
+
+
+SQL_COVERAGE = f"""
+WITH fp AS (
+  SELECT 'fp_' || LPAD(CAST(id AS VARCHAR), 4, '0') AS image_id,
+         x_min AS fx0, y_min AS fy0, x_max AS fx1, y_max AS fy1
+  FROM ({_SQL_SUPPLIER_BOXES})),
+rects AS ({_SQL_NATION_RECTS})
+SELECT image_id, poly_id AS aoi_id,
+       ROUND(GREATEST(LEAST(fx1, x1) - GREATEST(fx0, x0), 0)
+             * GREATEST(LEAST(fy1, y1) - GREATEST(fy0, y0), 0)
+             / ((fx1 - fx0) * (fy1 - fy0)), 4) AS coverage
+FROM fp JOIN rects
+  ON LEAST(fx1, x1) > GREATEST(fx0, x0) AND LEAST(fy1, y1) > GREATEST(fy0, y0)
+"""
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (A8; np.nanpercentile-style linear
+    interpolation — Spark `percentile`, DuckDB `quantile_cont`)."""
+    ev = _pq(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+        F.round(F.expr("percentile(value, 0.05)"), 6).alias("p05"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.95), 6) AS p95,
+       ROUND(quantile_cont(value, 0.05), 6) AS p05
+FROM events GROUP BY event_type
+"""
+
+
+def q_coeff_variation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coefficient of variation per group (A7, local_match.py:67-113)."""
+    ev = _pq(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.stddev_pop("value") / F.avg("value"), 6).alias("cv"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_CV = """
+SELECT event_type, ROUND(STDDEV_POP(value) / AVG(value), 6) AS cv, COUNT(*) AS n
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES: dict = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -517,6 +595,9 @@ QUERIES: dict = {
     "zonal_event_stats": q_zonal_event_stats,
     "mosaic_last_wins": q_mosaic_last_wins,
     "distinct_classes": q_distinct_classes,
+    "coverage_join": q_coverage_join,
+    "percentiles_exact": q_percentiles,
+    "coeff_variation": q_coeff_variation,
 }
 
 ORACLES: dict[str, str] = {
@@ -539,4 +620,7 @@ ORACLES: dict[str, str] = {
     "zonal_event_stats": SQL_ZONAL_EVENTS,
     "mosaic_last_wins": SQL_MOSAIC,
     "distinct_classes": SQL_DISTINCT_CLASSES,
+    "coverage_join": SQL_COVERAGE,
+    "percentiles_exact": SQL_PERCENTILES,
+    "coeff_variation": SQL_CV,
 }

@@ -261,6 +261,68 @@ def _label_components(mask: np.ndarray, connectivity: int = 4) -> tuple[np.ndarr
     return labels, counts
 
 
+def smooth(df: DataFrame, sigma: float = 1.5, nodata: int | None = None) -> DataFrame:
+    """Gaussian smoothing with validity-mask renormalized weights
+    (normalized convolution — ``local_match.py:636-671`` semantics): nodata
+    pixels contribute zero weight and keep their value. Separable numpy
+    convolution, no scipy."""
+    radius = max(1, int(3.0 * sigma))
+    xs = np.arange(-radius, radius + 1, dtype=np.float64)
+    kern = np.exp(-(xs**2) / (2.0 * sigma * sigma))
+    kern /= kern.sum()
+
+    def conv1d(arr, axis):
+        pad = [(0, 0)] * arr.ndim
+        pad[axis] = (radius, radius)
+        padded = np.pad(arr, pad, mode="edge")
+        out = np.zeros_like(arr)
+        sl = [slice(None)] * arr.ndim
+        for i, w in enumerate(kern):
+            sl[axis] = slice(i, i + arr.shape[axis])
+            out += w * padded[tuple(sl)]
+        return out
+
+    def k(img, row):
+        f = img.astype(np.float64)
+        valid = np.ones(f.shape, np.float64)
+        if nodata is not None:
+            valid = (img != nodata).astype(np.float64)
+        num = conv1d(conv1d(f * valid, 0), 1)
+        den = conv1d(conv1d(valid, 0), 1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sm = np.where(den > 0, num / den, f)
+        if nodata is not None:
+            sm = np.where(img == nodata, img, sm)
+        return np.clip(np.rint(sm), 0, 255).astype(np.uint8)
+
+    return _transform_bytes(df, k)
+
+
+def clip_to_polygon(df: DataFrame, polys_wkb: bytes, nodata_value: int = 0) -> DataFrame:
+    """Cutline crop (R3, ``gdalwarp -cutline -crop_to_cutline``
+    ``create_dem_tiles_from_array.py:268-276``): pixels whose centers fall
+    outside the polygon become `nodata_value`. Pixel centers get lon/lat
+    from the footprint model; PIP is the vectorized ray cast."""
+    from gis_scripts_spark.geom import core as geom
+    from gis_scripts_spark.geom import wkb as wkb_mod
+    from gis_scripts_spark.raster.match import RES_DEG
+
+    polys = wkb_mod.from_wkb(polys_wkb)
+
+    def k(img, row):
+        h, w = img.shape[:2]
+        xs = row["lon"] + (np.arange(w) + 0.5) * RES_DEG
+        ys = row["lat"] + h * RES_DEG - (np.arange(h) + 0.5) * RES_DEG
+        px = np.repeat(xs[None, :], h, 0).ravel()
+        py = np.repeat(ys[:, None], w, 1).ravel()
+        inside = geom.points_in_multipolygon(px, py, polys).reshape(h, w)
+        out = img.copy()
+        out[~inside] = np.uint8(nodata_value)
+        return out
+
+    return _transform_bytes(df, k)
+
+
 # ------------------------------------------------------------------ stats
 def band_stats(df: DataFrame, nodata: int | None = None) -> DataFrame:
     """Per-image per-band masked mean/std/min/max/count

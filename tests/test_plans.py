@@ -1,0 +1,74 @@
+"""Physical-plan quality gates (SURVEY.md §7.4): column pruning keeps the
+fat `bytes` column out of metadata-only plans and out of every shuffle;
+filters push down to the parquet scan; the AOI cover join broadcasts."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from gis_scripts_spark.operators import pip_join, tile_assign
+from gis_scripts_spark.sources import synth
+
+
+@pytest.fixture(scope="module")
+def images_parquet(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "images")
+    synth.images_df(spark, 60, parts=2).write.parquet(p)
+    return p
+
+
+def _plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_metadata_query_prunes_bytes(spark, images_parquet):
+    df = spark.read.parquet(images_parquet)
+    q = df.groupBy("fmt").agg(F.count(F.lit(1)).alias("n"), F.avg("w").alias("aw"))
+    plan = _plan(q)
+    scan_schema = re.search(r"ReadSchema: (.*)", plan).group(1)
+    assert "bytes" not in scan_schema, scan_schema
+    assert "fmt" in scan_schema and "w" in scan_schema
+
+
+def test_filter_pushdown_reaches_scan(spark, images_parquet):
+    df = spark.read.parquet(images_parquet).filter(F.col("w") == 64).select("image_id")
+    plan = _plan(df)
+    m = re.search(r"PushedFilters: \[(.*)\]", plan)
+    assert m and "w" in m.group(1), plan[:2000]
+
+
+def test_pip_join_broadcasts_cover_and_keeps_bytes_out_of_shuffle(spark, images_parquet):
+    images = spark.read.parquet(images_parquet)
+    polys = synth.aoi_polygons_df(spark)
+    keys = tile_assign.assign_tiles(images, s2_level=None).select(
+        "image_id", "lon", "lat", "quadkey"
+    )
+    joined = pip_join.pip_join(keys, polys, z=7)
+    agg = joined.groupBy("poly_id").agg(F.count(F.lit(1)).alias("n"))
+    plan = _plan(agg)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    # every Exchange in the plan must be bytes-free
+    for ex in re.findall(r"Exchange [^\n]*", plan):
+        assert "bytes" not in ex, ex
+    scan_schema = re.search(r"ReadSchema: (.*)", plan).group(1)
+    assert "bytes" not in scan_schema  # pruned at the source too
+
+
+def test_knn_shuffles_only_keys(spark, images_parquet):
+    from gis_scripts_spark.operators import knn
+
+    images = spark.read.parquet(images_parquet)
+    out = knn.knn_join(
+        images, images, k=3, z=4, point_id="image_id", query_id="image_id",
+        exclude_self=True, initial_r=2,
+    )
+    plan = _plan(out)
+    for ex in re.findall(r"Exchange [^\n]*", plan):
+        assert "bytes" not in ex, ex
