@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "coverage_join",
     "percentiles_exact",
     "coeff_variation",
+    "balanced_sample",
 ]
 
 

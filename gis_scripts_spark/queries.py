@@ -575,6 +575,25 @@ FROM events GROUP BY event_type
 """
 
 
+def q_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic class-balanced sampling (§2.6; hash-ordered selection
+    is content-keyed, so DuckDB reproduces it exactly)."""
+    from gis_scripts_spark.operators import sampling
+
+    ev = _pq(spark, sf_dir, "events")
+    out = sampling.balance_classes(ev, label_col="event_type", key_col="event_id", n_per_class=50)
+    return out.select("event_type", "event_id")
+
+
+SQL_BALANCED_SAMPLE = """
+SELECT event_type, event_id FROM (
+  SELECT event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+  FROM events) WHERE rk <= 50
+"""
+
+
 QUERIES: dict = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -598,6 +617,7 @@ QUERIES: dict = {
     "coverage_join": q_coverage_join,
     "percentiles_exact": q_percentiles,
     "coeff_variation": q_coeff_variation,
+    "balanced_sample": q_balanced_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -623,4 +643,5 @@ ORACLES: dict[str, str] = {
     "coverage_join": SQL_COVERAGE,
     "percentiles_exact": SQL_PERCENTILES,
     "coeff_variation": SQL_CV,
+    "balanced_sample": SQL_BALANCED_SAMPLE,
 }
