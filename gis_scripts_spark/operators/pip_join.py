@@ -108,10 +108,34 @@ def exact_check_with_wkb(wkb_bytes: pd.Series, lon: pd.Series, lat: pd.Series) -
     return pd.Series(out)
 
 
+def auto_zoom(polys_df: DataFrame, wkb_col: str = "wkb", target_cells: int = 64, sample_n: int = 256) -> int:
+    """Pick the cover zoom from the polygon size distribution
+    (SURVEY.md §4.2 "choose resolution by polygon size histogram"):
+    median bbox area -> z such that a median polygon covers ~target_cells
+    cells. Finer cells => more rows in the (broadcast) cover table but a
+    larger full-cell fast-path fraction; ~64 cells/polygon balances both."""
+    import numpy as np
+
+    from gis_scripts_spark.geom import core as geom
+    from gis_scripts_spark.geom import wkb as wkb_mod
+
+    rows = polys_df.select(wkb_col).limit(sample_n).collect()
+    areas = []
+    for r in rows:
+        polys = wkb_mod.from_wkb(bytes(r[0]))
+        bb = geom.bbox_of_rings(polys[0])
+        areas.append(max((bb[2] - bb[0]) * (bb[3] - bb[1]), 1e-12))
+    med = float(np.median(areas)) if areas else 1.0
+    # cell area at zoom z: (360/2^z)*(180/2^z); want med / cell_area ~= target
+    cell_area = med / target_cells
+    z = int(round(0.5 * np.log2(360.0 * 180.0 / cell_area)))
+    return int(np.clip(z, 2, 16))
+
+
 def pip_join(
     points_df: DataFrame,
     polys_df: DataFrame,
-    z: int = 7,
+    z: int | str = 7,
     lon: str = "lon",
     lat: str = "lat",
     poly_id: str = "poly_id",
@@ -131,6 +155,8 @@ def pip_join(
     (SURVEY.md §7.4).
     """
     spark = points_df.sparkSession
+    if z == "auto":
+        z = auto_zoom(polys_df, wkb_col)
     cover = build_cover_df(spark, polys_df, z, poly_id, wkb_col)
 
     pts = points_df.withColumn("cell", cell_expr(lon, lat, z))

@@ -32,3 +32,14 @@ def test_salted_join_equals_plain(spark):
         "image_id", "poly_id"
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_auto_zoom_picks_sane_resolution(spark):
+    polys = synth.aoi_polygons_df(spark)
+    z = pip_join.auto_zoom(polys)
+    assert 4 <= z <= 10
+    # auto mode produces the same pairs as a fixed reasonable zoom
+    df = synth.images_df(spark, 200, parts=2).select("image_id", "lon", "lat")
+    a = pip_join.pip_join(df, polys, z="auto").select("image_id", "poly_id")
+    b = pip_join.pip_join(df, polys, z=7).select("image_id", "poly_id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

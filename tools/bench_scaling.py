@@ -133,8 +133,10 @@ def main() -> None:
     ap.add_argument("--images", type=int, default=40_000)
     ap.add_argument("--n-cores", type=int, default=4, help="cluster size N proxy")
     ap.add_argument("--n4-cores", type=int, default=16, help="cluster size 4N proxy")
+    ap.add_argument("--jobs", type=str, default="points,points_s2_udf,images")
     args = ap.parse_args()
 
+    wanted = set(args.jobs.split(","))
     c_n, c_4n = args.n_cores, args.n4_cores
     results = {"cores_pair": [c_n, c_4n]}
     for name, fn, n in (
@@ -142,6 +144,8 @@ def main() -> None:
         ("points_s2_udf", job_points_s2, min(args.points, 30_000_000)),
         ("images", job_images, args.images),
     ):
+        if name not in wanted:
+            continue
         t_n = run_at(c_n, fn, n)
         t_4n = run_at(c_4n, fn, n)
         thr_n = n / t_n
@@ -176,6 +180,9 @@ def main() -> None:
                         old["scaling_efficiency"] > cur["scaling_efficiency"]
                     ):
                         results[name] = old
+                for name, old in prev.items():
+                    if name != "cores_pair" and name not in results:
+                        results[name] = old  # carry forward jobs not re-run
         except (json.JSONDecodeError, KeyError):
             pass
     with open(out_path, "w") as f:
