@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "percentiles_exact",
     "coeff_variation",
     "balanced_sample",
+    "image_pipeline_zonal",
+    "image_histogram_match",
 ]
 
 

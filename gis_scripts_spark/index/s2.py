@@ -183,3 +183,60 @@ def token(cell: int) -> str:
 def face_of(cell) -> np.ndarray:
     cell = np.asarray(cell, np.int64)
     return (cell.view(np.uint64) >> np.uint64(61)).astype(np.int64)
+
+
+# ---------------------------------------------------------------- decoding
+def _to_face_ij_orientation(cell: int) -> tuple[int, int, int, int]:
+    """Inverse Hilbert traversal (public s2 algorithm): cell id -> (face,
+    i, j, orientation). The top lookup step carries only 2 position bits
+    (MAX_LEVEL - 7*LOOKUP_BITS = 2)."""
+    u = int(np.uint64(np.int64(cell)))
+    face = u >> 61
+    bits = face & _SWAP
+    i = j = 0
+    for k in range(7, -1, -1):
+        nbits = MAX_LEVEL - 7 * _LOOKUP_BITS if k == 7 else _LOOKUP_BITS
+        bits += ((u >> (k * 2 * _LOOKUP_BITS + 1)) & ((1 << (2 * nbits)) - 1)) << 2
+        bits = int(_LOOKUP_IJ[bits])
+        i += (bits >> (_LOOKUP_BITS + 2)) << (k * _LOOKUP_BITS)
+        j += ((bits >> 2) & ((1 << _LOOKUP_BITS) - 1)) << (k * _LOOKUP_BITS)
+        bits &= _SWAP | _INVERT
+    return face, i, j, bits
+
+
+def _uv_from_st(s: float) -> float:
+    if s >= 0.5:
+        return (1.0 / 3.0) * (4.0 * s * s - 1.0)
+    return (1.0 / 3.0) * (1.0 - 4.0 * (1.0 - s) * (1.0 - s))
+
+
+_FACE_UV_TO_XYZ = [
+    lambda u, v: (1.0, u, v),
+    lambda u, v: (-u, 1.0, v),
+    lambda u, v: (-u, -v, 1.0),
+    lambda u, v: (-1.0, -v, -u),
+    lambda u, v: (v, -1.0, -u),
+    lambda u, v: (v, u, -1.0),
+]
+
+
+def to_lat_lng(cell: int) -> tuple[float, float]:
+    """Center (lat, lng) degrees of a cell at any level."""
+    face, i, j, _ = _to_face_ij_orientation(int(cell))
+    u_cell = int(np.uint64(np.int64(cell)))
+    is_leaf = bool(u_cell & 1)
+    if is_leaf:
+        delta = 1
+    else:
+        # public center correction: odd traversal parity shifts the center
+        delta = 2 if ((i ^ (u_cell >> 2)) & 1) else 0
+    si = 2 * i + delta
+    ti = 2 * j + delta
+    s = si / float(1 << (MAX_LEVEL + 1))
+    t = ti / float(1 << (MAX_LEVEL + 1))
+    u = _uv_from_st(s)
+    v = _uv_from_st(t)
+    x, y, z = _FACE_UV_TO_XYZ[face](u, v)
+    lat = np.degrees(np.arctan2(z, np.sqrt(x * x + y * y)))
+    lng = np.degrees(np.arctan2(y, x))
+    return float(lat), float(lng)

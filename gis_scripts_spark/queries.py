@@ -594,6 +594,60 @@ SELECT event_type, event_id FROM (
 """
 
 
+def q_image_pipeline_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image engine on the input_hint table (rows-only driver
+    check; deterministic synth — identical at any parallelism): synthesize
+    image+caption rows (real PNG/QNT bytes + phash), tile-assign, PIP-join
+    against the AOI fixtures, zonal rollup. The full north-rule pipeline
+    inside the correctness gate."""
+    from gis_scripts_spark.operators import tile_assign as ta
+    from gis_scripts_spark.sources import synth
+
+    n = 600 if "0.01" in sf_dir else 200
+    images = synth.images_df(spark, n, seed=42)
+    assigned = ta.assign_tiles(images, grid_z=7, tile_z=12, s2_level=12)
+    keys = assigned.select("image_id", "lon", "lat", "quadkey", "s2_cell", "phash")
+    polys = synth.aoi_polygons_df(spark, seed=42)
+    pairs = pip_join.pip_join(keys, polys, z=7)
+    return pairs.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.countDistinct("quadkey").alias("n_tiles"),
+        F.min("image_id").alias("first_image"),
+    )
+
+
+def q_image_histogram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global histogram matching on deliberately-overlapping synthetic
+    images (rows-only): returns the solved per-image gain/offset params —
+    the reference flagship's output table (global_match.py:314-554)."""
+    import numpy as np
+
+    from gis_scripts_spark.raster import codec, match
+    from gis_scripts_spark.sources import synth as synth_mod
+
+    rng = np.random.default_rng(42)
+    scene = rng.integers(40, 200, (64, 160, 1)).astype(np.uint8)
+    res = match.RES_DEG
+    rows = []
+    for k, (c0, shift) in enumerate([(0, 0), (48, 15), (96, -10)]):
+        tile = scene[:, c0 : c0 + 64]
+        tile = np.clip(tile.astype(np.int32) + shift, 0, 255).astype(np.uint8)
+        rows.append(
+            {
+                "image_id": f"ov_{k}", "bytes": bytearray(codec.png_encode(tile)),
+                "w": 64, "h": 64, "fmt": "png", "caption": f"overlap {k}",
+                "phash": codec.phash64(tile), "lon": c0 * res, "lat": 0.0,
+                "nodata": -9999.0, "bands": 1,
+            }
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=synth_mod.IMAGE_SCHEMA)
+    _, params = match.global_match(df, z=13)
+    out = spark.createDataFrame(params)
+    return out.select(
+        "image_id", "band", F.round("a", 4).alias("gain"), F.round("b", 4).alias("offset")
+    )
+
+
 QUERIES: dict = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -618,6 +672,10 @@ QUERIES: dict = {
     "percentiles_exact": q_percentiles,
     "coeff_variation": q_coeff_variation,
     "balanced_sample": q_balanced_sample,
+    # end-to-end image engine (rows-only: bytes pipelines have no SQL
+    # equivalent; exactness proven by tests/ numpy oracles)
+    "image_pipeline_zonal": q_image_pipeline_zonal,
+    "image_histogram_match": q_image_histogram_match,
 }
 
 ORACLES: dict[str, str] = {

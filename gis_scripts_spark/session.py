@@ -21,7 +21,10 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow is the UDF boundary for every pixel / cell-encode kernel.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+    # 8192 balances Arrow IPC round-trip overhead (big batches scale the
+    # key-only UDF paths better) against per-worker memory on image-bytes
+    # batches (~85 MB/batch at 10 KB rows)
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "8192",
     # Image `bytes` rows are fat; keep scan partitions bounded.
     "spark.sql.files.maxPartitionBytes": "128m",
     # Prefer shuffle-hash over sort-merge for cell-keyed joins: cell keys are

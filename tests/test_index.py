@@ -101,3 +101,22 @@ def test_disk_and_disk_arr_agree():
     idx, d2 = cells.disk_arr(np.array([c]), 2)
     assert set(d2.tolist()) == d1
     assert len(d1) == 25
+
+
+def test_s2_decode_roundtrip():
+    rng = np.random.default_rng(8)
+    lat = rng.uniform(-85, 85, 100)
+    lng = rng.uniform(-179.9, 179.9, 100)
+    for lvl in (5, 12, 30):
+        c = s2.cell_id(lat, lng, lvl)
+        for k in range(0, 100, 11):
+            clat, clng = s2.to_lat_lng(int(c[k]))
+            assert int(s2.cell_id(np.array([clat]), np.array([clng]), lvl)[0]) == int(c[k])
+
+
+def test_s2_center_error_shrinks_with_level():
+    c5 = int(s2.cell_id(np.array([10.0]), np.array([20.0]), 5)[0])
+    c20 = int(s2.cell_id(np.array([10.0]), np.array([20.0]), 20)[0])
+    e5 = abs(s2.to_lat_lng(c5)[0] - 10.0) + abs(s2.to_lat_lng(c5)[1] - 20.0)
+    e20 = abs(s2.to_lat_lng(c20)[0] - 10.0) + abs(s2.to_lat_lng(c20)[1] - 20.0)
+    assert e20 < e5 / 1000

@@ -101,7 +101,7 @@ def job_images(spark, n: int) -> int:
     return n
 
 
-def run_at(cores: int, fn, n: int) -> float:
+def run_at(cores: int, fn, n: int, arrow_batch: int = 8192) -> float:
     from gis_scripts_spark.session import get_spark, stop_spark
 
     stop_spark()
@@ -110,8 +110,14 @@ def run_at(cores: int, fn, n: int) -> float:
         cores=cores,
         shuffle_partitions=2 * cores,
         # image-byte Arrow buffers x 32 concurrent tasks need heap headroom;
-        # at 8g the 32-core run GC-thrashes and anti-scales
-        extra_conf={"spark.driver.memory": "24g"},
+        # at 8g the 32-core run GC-thrashes and anti-scales. Key-only UDF
+        # paths scale better with big Arrow batches (fewer IPC round trips:
+        # 4096 -> 32768 measured 0.60 -> 0.76 efficiency); image-bytes
+        # batches stay moderate to bound per-worker memory.
+        extra_conf={
+            "spark.driver.memory": "24g",
+            "spark.sql.execution.arrow.maxRecordsPerBatch": str(arrow_batch),
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     fn(spark, n)  # full-size warm: JIT, codegen, UDF workers, GC steady state
@@ -139,15 +145,15 @@ def main() -> None:
     wanted = set(args.jobs.split(","))
     c_n, c_4n = args.n_cores, args.n4_cores
     results = {"cores_pair": [c_n, c_4n]}
-    for name, fn, n in (
-        ("points", job_points, args.points),
-        ("points_s2_udf", job_points_s2, min(args.points, 30_000_000)),
-        ("images", job_images, args.images),
+    for name, fn, n, batch in (
+        ("points", job_points, args.points, 32768),
+        ("points_s2_udf", job_points_s2, min(args.points, 30_000_000), 32768),
+        ("images", job_images, args.images, 8192),
     ):
         if name not in wanted:
             continue
-        t_n = run_at(c_n, fn, n)
-        t_4n = run_at(c_4n, fn, n)
+        t_n = run_at(c_n, fn, n, arrow_batch=batch)
+        t_4n = run_at(c_4n, fn, n, arrow_batch=batch)
         thr_n = n / t_n
         thr_4n = n / t_4n
         eff = (thr_4n / thr_n) / (c_4n / c_n)
