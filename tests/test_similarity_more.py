@@ -1,0 +1,90 @@
+"""LSH top-k recall vs the exact brute-force path; kNN tie determinism;
+Column-vs-numpy tile math equivalence (drift guard)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from gis_scripts_spark.index import cells, tiles
+from gis_scripts_spark.operators import knn, similarity
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    df.count()
+    return df
+
+
+def test_lsh_topk_recall_on_near_duplicates(spark):
+    """Hyperplane LSH detects NEAR-duplicates (cos sim >= ~0.95) with
+    probability (1 - theta/pi)^n_planes per table — for random weakly
+    similar vectors the collision probability is intentionally tiny (the
+    sparsity that makes LSH scale). Plant near-dup pairs and require the
+    true near-dup to be found."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((150, 64)).astype(np.float32)
+    noise = base + 0.05 * rng.standard_normal((150, 64)).astype(np.float32)
+    rows = []
+    for i in range(150):
+        rows.append((2 * i, base[i].tolist()))
+        rows.append((2 * i + 1, noise[i].tolist()))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    df = spark.createDataFrame(pdf)
+    approx = similarity.lsh_topk(df, k=1, dim=64, n_planes=10, n_tables=6).toPandas()
+    got = approx[approx["rank"] == 1].set_index("query_id")["neighbor_id"]
+    hits = sum(1 for i in range(150) if got.get(2 * i) == 2 * i + 1)
+    assert hits / 150 >= 0.9, hits / 150
+    assert (approx.groupby("query_id")["rank"].min() == 1).all()
+
+
+def test_cosine_topk_with_separate_queries(spark, emb):
+    qs = emb.limit(20)
+    out = similarity.cosine_topk(emb, k=5, queries_df=qs).toPandas()
+    assert out.groupby("query_id").size().eq(5).all()
+    assert len(out["query_id"].unique()) == 20
+
+
+def test_knn_tie_determinism(spark):
+    # several points at identical coordinates -> ties broken by id, stable
+    pdf = pd.DataFrame(
+        {
+            "pid": [1, 2, 3, 4, 5, 6],
+            "lon": [0.0, 0.0, 0.0, 1.0, 1.0, 5.0],
+            "lat": [0.0, 0.0, 0.0, 1.0, 1.0, 5.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = knn.knn_join(
+        df, df, k=3, z=4, point_id="pid", query_id="pid", exclude_self=True
+    ).toPandas()
+    q1 = out[out["query_id"] == 1].sort_values("rank")["neighbor_id"].tolist()
+    assert q1 == [2, 3, 4]  # ties (2,3 at dist 0) by id, then nearest
+    out2 = knn.knn_join(
+        df.repartition(5), df.repartition(3), k=3, z=4, point_id="pid", query_id="pid",
+        exclude_self=True,
+    ).toPandas()
+    q1b = out2[out2["query_id"] == 1].sort_values("rank")["neighbor_id"].tolist()
+    assert q1b == q1
+
+
+def test_column_vs_numpy_tile_math(spark):
+    """Drift guard: the JVM Column implementations and the numpy oracles
+    must produce identical tiles/cells/quadkeys."""
+    rng = np.random.default_rng(17)
+    pdf = pd.DataFrame(
+        {"lon": rng.uniform(-179.9, 179.9, 500), "lat": rng.uniform(-84.9, 84.9, 500)}
+    )
+    df = spark.createDataFrame(pdf)
+    out = tiles.tile_cols(df, z=11)
+    out = out.withColumn("cell", cells.cell_col(F.col("lon"), F.col("lat"), 9)).toPandas()
+    tx, ty = tiles.tile_xy(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 11)
+    qk = tiles.quadkey(tx, ty, 11)
+    cc = cells.cell(pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), 9)
+    out = out.sort_values("lon").reset_index(drop=True)
+    order = np.argsort(pdf["lon"].to_numpy())
+    assert (out["tile_x"].to_numpy() == tx[order]).all()
+    assert (out["tile_y"].to_numpy() == ty[order]).all()
+    assert (out["quadkey"].to_numpy() == qk[order]).all()
+    assert (out["cell"].to_numpy() == cc[order]).all()

@@ -147,7 +147,7 @@ def main() -> None:
     results = {"cores_pair": [c_n, c_4n]}
     for name, fn, n, batch in (
         ("points", job_points, args.points, 32768),
-        ("points_s2_udf", job_points_s2, min(args.points, 30_000_000), 32768),
+        ("points_s2_udf", job_points_s2, min(args.points, 60_000_000), 32768),
         ("images", job_images, args.images, 8192),
     ):
         if name not in wanted:
