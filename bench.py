@@ -43,6 +43,8 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "text_quality",
+    "text_fingerprint",
+    "zonal_agreement",
     "topk_events_per_user",
     "zonal_event_stats",
     "mosaic_last_wins",
@@ -53,6 +55,7 @@ BENCH_QUERIES = [
     "balanced_sample",
     "image_pipeline_zonal",
     "image_histogram_match",
+    "mosaic_composite",
 ]
 
 

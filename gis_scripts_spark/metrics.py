@@ -69,7 +69,16 @@ class MetricsCollector:
         return df.mapInPandas(run, schema)
 
     def records(self) -> list[dict]:
-        return list(self._acc.value)
+        """Collected records, deduped on (run_id, stage, partition_id).
+
+        Accumulator updates inside transformations are at-least-once (task
+        retries / speculative execution re-add); keep the LAST record per
+        key — the attempt whose output Spark actually committed is always
+        among them and duplicates carry identical row counts."""
+        seen: dict[tuple, dict] = {}
+        for rec in self._acc.value:
+            seen[(rec["run_id"], rec["stage"], rec["partition_id"])] = rec
+        return list(seen.values())
 
     def flush(self, metrics_table: str, stage: str = None) -> dict | None:
         """Append collected records to the metrics snaptable."""

@@ -9,9 +9,11 @@ randomization, no partition-index dependence).
 Scale shapes:
 - exact: md5 groupBy — one shuffle, partial agg map-side.
 - minhash: per-doc signature in one vectorized pandas UDF; LSH bands ->
-  (band, band_hash) explode; candidates = self-join on the band key
-  (equi-join, AQE-skew-safe) deduped report-once by first shared band;
-  exact Jaccard verify inside the join output.
+  (id, band, band_hash) explode — IDS ONLY, the text/signature payload
+  never rides the band explode or the self-join shuffle; candidates =
+  self-join on the band key (equi-join, AQE-skew-safe) deduped report-once
+  by min shared band (map-side partial agg); texts re-joined exactly once
+  per surviving candidate pair for the exact-Jaccard verify.
 - simhash: 64-bit signature; Hamming<=3 via 4x16-bit band blocking
   (pigeonhole: any pair within distance 3 shares an exact 16-bit quarter).
 """
@@ -93,8 +95,15 @@ def minhash_signature_udf(n_perm: int = 128, shingle_n: int = 3, seed: int = 13)
             if len(hs) == 0:
                 out.append([0] * n_perm)
                 continue
-            # (a*h + b) mod p, min over shingles, per permutation
-            vals = (a[:, None] * hs[None, :] + b[:, None]) % _MERSENNE
+            # (a*h + b) mod p, min over shingles, per permutation. NOTE:
+            # a*h (both up to 2^61) wraps mod 2^64 in int64 BEFORE the
+            # Mersenne reduction — deliberate and deterministic: the
+            # composition (wrap-then-mod-p) is still a fixed seeded mixing
+            # family, just not the textbook universal family. Collision
+            # quality is asserted empirically (recall >= 0.9 vs the exact
+            # Jaccard oracle in tests/test_dedup_text.py).
+            with np.errstate(over="ignore"):
+                vals = (a[:, None] * hs[None, :] + b[:, None]) % _MERSENNE
             out.append(vals.min(axis=1).tolist())
         return pd.Series(out)
 
@@ -114,8 +123,16 @@ def minhash_lsh_pairs(
     """Candidate near-duplicate pairs (id_a < id_b) via banded MinHash LSH,
     optionally verified with the exact shingle-set Jaccard.
 
-    Returns (id_a, id_b, est_jaccard [, jaccard]). Report-once: a pair is
-    emitted only from the FIRST band that matches (min band id)."""
+    Returns (id_a, id_b, jaccard) when `verify` (default), else
+    (id_a, id_b, est_jaccard). Report-once: a pair is emitted only from the
+    FIRST band that matches (min band id, map-side partial agg).
+
+    Scale shape (the SURVEY §7.4 invariant — fat payloads never enter a
+    shuffle): the band explode and self-join carry (id, band, bhash) ONLY.
+    At web scale the band-join shuffle is ids × bands, not text × bands; the
+    document text (and signature, in the est path) is equi-joined back
+    exactly once per SURVIVING candidate pair — a vanishing fraction of the
+    corpus for near-dup-sparse web text."""
     rows_per_band = n_perm // bands
     sig = minhash_signature_udf(n_perm, shingle_n)
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")).withColumn(
@@ -137,35 +154,38 @@ def minhash_lsh_pairs(
         )
         for bi in range(bands)
     ]
+    # ids-only band table: the only thing the LSH self-join shuffles
     banded = base.withColumn("_band", F.explode(F.array(*band_cols))).select(
-        "_id", "_text", "_sig", F.col("_band.band").alias("band"), F.col("_band.bhash").alias("bhash")
+        "_id", F.col("_band.band").alias("band"), F.col("_band.bhash").alias("bhash")
     )
 
-    left = banded.select(
-        F.col("_id").alias("id_a"), F.col("_text").alias("_ta"), F.col("_sig").alias("_sa"),
-        "band", "bhash",
-    )
-    right = banded.select(
-        F.col("_id").alias("id_b"), F.col("_text").alias("_tb"), "band", "bhash"
-    )
-    pairs = left.join(right, ["band", "bhash"]).filter(F.col("id_a") < F.col("id_b"))
-    w = Window.partitionBy("id_a", "id_b").orderBy("band")
-    pairs = pairs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
-
-    # estimated jaccard from signature agreement (JVM-side zip_with)
-    sig_b = base.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"))
-    pairs = pairs.join(sig_b, "id_b")
-    est = (
-        F.aggregate(
-            F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ).cast("double")
-        / F.lit(n_perm)
-    ).alias("est_jaccard")
+    left = banded.select(F.col("_id").alias("id_a"), "band", "bhash")
+    right = banded.select(F.col("_id").alias("id_b"), "band", "bhash")
+    cand = left.join(right, ["band", "bhash"]).filter(F.col("id_a") < F.col("id_b"))
+    # report-once by min band: groupBy aggregates map-side (no window sort)
+    pairs = cand.groupBy("id_a", "id_b").agg(F.min("band").alias("_first_band")).drop("_first_band")
 
     if not verify:
+        # estimated jaccard from signature agreement (JVM-side zip_with);
+        # signatures joined back once per surviving pair
+        sig_a = base.select(F.col("_id").alias("id_a"), F.col("_sig").alias("_sa"))
+        sig_b = base.select(F.col("_id").alias("id_b"), F.col("_sig").alias("_sb"))
+        pairs = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+        est = (
+            F.aggregate(
+                F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+                F.lit(0),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / F.lit(n_perm)
+        ).alias("est_jaccard")
         return pairs.select("id_a", "id_b", est)
+
+    # texts joined back once per surviving pair (never through the explode)
+    txt = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
+    ta = txt.select(F.col("_id").alias("id_a"), F.col("_t").alias("_ta"))
+    tb = txt.select(F.col("_id").alias("id_b"), F.col("_t").alias("_tb"))
+    pairs = pairs.join(ta, "id_a").join(tb, "id_b")
 
     @F.pandas_udf("double")
     def jaccard(ta: pd.Series, tb: pd.Series) -> pd.Series:
@@ -177,17 +197,39 @@ def minhash_lsh_pairs(
             out[i] = len(sa & sb) / u if u else 0.0
         return pd.Series(out)
 
-    out = pairs.select("id_a", "id_b", est, jaccard(F.col("_ta"), F.col("_tb")).alias("jaccard"))
+    out = pairs.select("id_a", "id_b", jaccard(F.col("_ta"), F.col("_tb")).alias("jaccard"))
     return out.filter(F.col("jaccard") >= threshold)
 
 
 # ----------------------------------------------------------------- simhash
-def simhash_udf(shingle_n: int = 1):
+_MD5_CACHE: dict[str, int] = {}
+
+
+def _md5_token_hashes(tokens: list[str]) -> np.ndarray:
+    """64-bit token hashes as the first 8 bytes (big-endian) of md5 — the
+    SQL-reproducible variant (DuckDB: ('0x' || substr(md5(w),1,16))::UBIGINT),
+    enabling an exact ANSI-SQL oracle for the simhash pipeline."""
+    out = np.empty(len(tokens), np.uint64)
+    for i, t in enumerate(tokens):
+        h = _MD5_CACHE.get(t)
+        if h is None:
+            h = _MD5_CACHE[t] = int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big")
+            if len(_MD5_CACHE) > 1_000_000:
+                _MD5_CACHE.clear()
+        out[i] = h
+    return out
+
+
+def simhash_udf(shingle_n: int = 1, hash_fn: str = "blake2b"):
     @F.pandas_udf(LongType())
     def sim(text: pd.Series) -> pd.Series:
         out = np.empty(len(text), np.int64)
         for i, t in enumerate(text):
-            hs = _token_hashes(_shingles(t, shingle_n)).view(np.uint64)
+            toks = _shingles(t, shingle_n)
+            if hash_fn == "md5":
+                hs = _md5_token_hashes(toks)
+            else:
+                hs = _token_hashes(toks).view(np.uint64)
             if len(hs) == 0:
                 out[i] = 0
                 continue
@@ -209,12 +251,15 @@ def simhash_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     shingle_n: int = 1,
+    hash_fn: str = "blake2b",
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, blocked on
     16-bit quarters (pigeonhole-complete for max_hamming <= 3).
 
+    `hash_fn='md5'` makes the token hash SQL-reproducible (DuckDB oracle).
+
     Returns (id_a, id_b, hamming)."""
-    sim = simhash_udf(shingle_n)
+    sim = simhash_udf(shingle_n, hash_fn)
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")).withColumn(
         "_sh", sim(F.col("_t"))
     )

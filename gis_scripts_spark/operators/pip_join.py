@@ -191,7 +191,10 @@ def pip_join(
             F.col("full") | check(F.col("poly_id"), F.col(lon), F.col(lat))
         )
     else:
-        cover = cover.join(polys_df.select(poly_id, wkb_col), "poly_id")
+        # cover normalizes the id column name to 'poly_id'; alias the source
+        # table to match so custom poly_id column names join correctly
+        wkb_side = polys_df.select(F.col(poly_id).alias("poly_id"), F.col(wkb_col))
+        cover = cover.join(wkb_side, "poly_id")
         joined = pts.join(cover, join_keys, "inner")
         joined = joined.filter(
             F.col("full") | exact_check_with_wkb(F.col(wkb_col), F.col(lon), F.col(lat))

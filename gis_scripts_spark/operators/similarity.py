@@ -14,7 +14,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 
 def _dot(a, b):
@@ -32,58 +32,89 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec: str = "embedding",
     queries_df: DataFrame | None = None,
+    n_blocks: int = 8,
+    q_chunks: int = 4,
 ) -> DataFrame:
-    """Exact brute-force cosine top-k via broadcast candidate matrix +
-    per-batch BLAS matmul inside mapInPandas.
+    """Exact brute-force cosine top-k, fully distributed block matmul —
+    NO driver-side collect anywhere (the candidate table never leaves the
+    executors).
+
+    Block scheme (the classic blocked all-pairs shape): candidates hash to
+    `n_blocks` blocks, queries hash to `q_chunks` chunks; each (block,
+    chunk) task does one (nq/Q × nc/B) float64 BLAS matmul + vectorized
+    stable top-k, emitting <= k rows per query per block; a final window
+    merges the per-block top-k lists (input bounded at B·k rows/query).
+    Communication is O(n·(B+Q)/BQ · BQ) = each vector replicated B or Q
+    times — tune n_blocks so a block (~n/B vectors) fits executor memory;
+    at 10^8+ vectors raise n_blocks or switch to `lsh_topk` (approximate,
+    bucket-sparse).
 
     Returns (query_id, neighbor_id, rank), rank ordered by (sim desc,
-    neighbor_id) — deterministic tie-break. The candidate matrix is
-    broadcast (fits executor memory up to ~10^7×128 float32); beyond that
-    use `lsh_topk` (bucketed candidates) — the IVF-style scale path.
+    neighbor_id) — deterministic tie-break.
     """
     spark = df.sparkSession
-    cand_pdf = df.select(id_col, vec).toPandas().sort_values(id_col)
-    cand_ids = cand_pdf[id_col].to_numpy()
-    m = np.stack([np.asarray(v, np.float64) for v in cand_pdf[vec]])
-    m_norm = m / np.linalg.norm(m, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(cand_ids)
-    b_mat = spark.sparkContext.broadcast(m_norm)
-
     qs = queries_df if queries_df is not None else df
     qid_type = qs.schema[id_col].dataType
-    out_schema = StructType(
+    local_schema = StructType(
         [
             StructField("query_id", qid_type),
             StructField("neighbor_id", qid_type),
-            StructField("rank", IntegerType()),
+            StructField("_sim", DoubleType()),
         ]
     )
 
-    def run(batches):
-        ids = b_ids.value
-        mat = b_mat.value
-        for pdf in batches:
-            q = np.stack([np.asarray(v, np.float64) for v in pdf[vec]])
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = q @ mat.T  # (nq, nc) BLAS
-            qids = pdf[id_col].to_numpy()
-            # exclude self by id
-            out_q, out_n, out_r = [], [], []
-            for row_i in range(len(qids)):
-                s = sims[row_i]
-                mask_self = ids == qids[row_i]
-                s = np.where(mask_self, -np.inf, s)
-                # top-k by (sim desc, id asc): ids pre-sorted + stable sort
-                order = np.argsort(-s, kind="stable")[:k]
-                order = order[np.isfinite(s[order])]
-                out_q.extend([qids[row_i]] * len(order))
-                out_n.extend(ids[order])
-                out_r.extend(range(1, len(order) + 1))
-            yield pd.DataFrame(
-                {"query_id": out_q, "neighbor_id": out_n, "rank": np.asarray(out_r, np.int32)}
-            )
+    cand = df.select(
+        F.col(id_col).alias("_cid"), F.col(vec).alias("_cv")
+    ).withColumn("_blk", F.pmod(F.xxhash64(F.col("_cid")), F.lit(n_blocks)).cast("int"))
+    # replicate candidates across query chunks / queries across blocks:
+    # both replication factors are small constants, never data-sized
+    qc_df = spark.range(q_chunks).select(F.col("id").cast("int").alias("_qc"))
+    blk_df = spark.range(n_blocks).select(F.col("id").cast("int").alias("_blk"))
+    cand_rep = cand.crossJoin(qc_df)
+    q_rep = (
+        qs.select(F.col(id_col).alias("_qid"), F.col(vec).alias("_qv"))
+        .withColumn("_qc", F.pmod(F.xxhash64(F.col("_qid")), F.lit(q_chunks)).cast("int"))
+        .crossJoin(blk_df)
+    )
 
-    return qs.select(id_col, vec).mapInPandas(run, out_schema)
+    def local_topk(queries: pd.DataFrame, candidates: pd.DataFrame) -> pd.DataFrame:
+        if len(queries) == 0 or len(candidates) == 0:
+            return pd.DataFrame({f.name: [] for f in local_schema.fields})
+        candidates = candidates.sort_values("_cid", kind="mergesort")
+        cids = candidates["_cid"].to_numpy()
+        m = np.stack([np.asarray(v, np.float64) for v in candidates["_cv"]])
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        q = np.stack([np.asarray(v, np.float64) for v in queries["_qv"]])
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        qids = queries["_qid"].to_numpy()
+        sims = q @ m.T  # (nq, nc) BLAS
+        sims[qids[:, None] == cids[None, :]] = -np.inf  # exclude self by id
+        kk = min(k, sims.shape[1])
+        # stable argsort on -sim: candidate columns are id-sorted, so ties
+        # break by neighbor_id ascending — the deterministic contract
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        ssel = np.take_along_axis(sims, order, axis=1)
+        keep = np.isfinite(ssel)
+        cnt = keep.sum(axis=1)
+        return pd.DataFrame(
+            {
+                "query_id": np.repeat(qids, cnt),
+                "neighbor_id": cids[order[keep]],
+                "_sim": ssel[keep],
+            }
+        )
+
+    local = (
+        q_rep.groupBy("_blk", "_qc")
+        .cogroup(cand_rep.groupBy("_blk", "_qc"))
+        .applyInPandas(local_topk, local_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
 
 
 def cosine_topk_sql(

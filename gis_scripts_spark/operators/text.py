@@ -96,7 +96,9 @@ def fingerprint_udf(window: int = 8):
     min of window hashes -> stable 63-bit doc fingerprint (winnowing-lite).
     Deterministic, partition-independent."""
     B = np.int64(1000003)
-    MOD = np.int64((1 << 56) - 5)  # prime; window*MOD fits int64 (no overflow)
+    # prime below 2^53: byte_value(<=255) * power(<MOD) < 2^61 and the
+    # window-sum of 8 terms < 2^56 — every intermediate genuinely fits int64
+    MOD = np.int64(9007199254740881)
 
     @F.pandas_udf(LongType())
     def fp(text: pd.Series) -> pd.Series:

@@ -381,24 +381,77 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming<=3 near-dup pairs (rows-only driver check)."""
+    """SimHash Hamming<=3 near-dup pairs. hash_fn='md5' makes the token
+    hash SQL-reproducible, so this is a FULL oracle row: DuckDB rebuilds
+    the 64 signature bits from md5 token hashes and brute-forces the
+    Hamming join."""
     docs = _pq(spark, sf_dir, "documents")
-    return dedup.simhash_pairs(docs, max_hamming=3, shingle_n=1)
+    out = dedup.simhash_pairs(docs, max_hamming=3, shingle_n=1, hash_fn="md5")
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+SQL_SIMHASH = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+th AS (SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h FROM toks),
+bits AS (
+  SELECT doc_id, j,
+         CASE WHEN SUM(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+              THEN 1 ELSE 0 END AS bit
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS j) GROUP BY doc_id, j),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         SUM(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS hamming
+  FROM bits a JOIN bits b ON a.j = b.j AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM pairs WHERE hamming <= 3
+"""
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality features + lang-ID heuristic (rows-only driver check)."""
+    """Quality features (pure Column math end-to-end -> FULL oracle row)."""
     docs = _pq(spark, sf_dir, "documents")
     out = text.with_quality_score(text.with_token_stats(docs))
-    out = out.withColumn("lang_pred", text.lang_id_udf()(F.col("text")))
-    out = out.withColumn("fingerprint", text.fingerprint_udf()(F.col("text")))
     return out.select(
         "doc_id", "n_tokens", "n_bpe_ish",
         F.round("punct_ratio", 6).alias("punct_ratio"),
         F.round("mean_word_len", 6).alias("mean_word_len"),
         F.round("quality_score", 2).alias("quality_score"),
-        "lang_pred", "fingerprint",
     )
+
+
+SQL_TEXT_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id,
+         LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+         LEN(STRING_SPLIT_REGEX(
+             regexp_replace(text, '([^\w\s]|\d)', ' \1 ', 'g'), '\s+')) AS n_bpe_ish,
+         LENGTH(text) AS n_chars,
+         LENGTH(regexp_replace(text, '[\w\s]', '', 'g')) AS n_punct,
+         LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(text, ' ')),
+             ['a','and','for','in','is','it','of','that','the','to'])) AS stop_hits
+  FROM documents)
+SELECT doc_id,
+       CAST(n_tokens AS INTEGER) AS n_tokens,
+       CAST(n_bpe_ish AS INTEGER) AS n_bpe_ish,
+       ROUND(n_punct * 1.0 / GREATEST(n_chars, 1), 6) AS punct_ratio,
+       ROUND((n_chars - (n_tokens - 1)) * 1.0 / GREATEST(n_tokens, 1), 6) AS mean_word_len,
+       ROUND((CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+           + (CASE WHEN n_punct * 1.0 / GREATEST(n_chars, 1) < 0.2 THEN 0.2 ELSE 0.0 END)
+           + (CASE WHEN (n_chars - (n_tokens - 1)) * 1.0 / GREATEST(n_tokens, 1)
+                        BETWEEN 2.0 AND 12.0 THEN 0.2 ELSE 0.0 END)
+           + (CASE WHEN stop_hits >= 1 THEN 0.2 ELSE 0.0 END), 2) AS quality_score
+FROM t
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lang-ID heuristic + winnowing fingerprint (engine-defined hashing ->
+    rows-only driver check; determinism + collision behavior proven in
+    tests/test_dedup_text.py)."""
+    docs = _pq(spark, sf_dir, "documents")
+    out = docs.withColumn("lang_pred", text.lang_id_udf()(F.col("text")))
+    out = out.withColumn("fingerprint", text.fingerprint_udf()(F.col("text")))
+    return out.select("doc_id", "lang_pred", "fingerprint")
 
 
 def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -497,23 +550,35 @@ FROM events GROUP BY event_type
 """
 
 
+def _bbox_wkb_udf():
+    from pyspark.sql.types import BinaryType
+
+    @F.pandas_udf(BinaryType())
+    def bbox_wkb(x0: pd.Series, y0: pd.Series, x1: pd.Series, y1: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                bytearray(wkb_mod.bbox_to_wkb(a, b, c, d))
+                for a, b, c, d in zip(x0, y0, x1, y1)
+            ]
+        )
+
+    return bbox_wkb
+
+
 def q_coverage_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Footprint∩AOI coverage percent (J3, seagrass_lib.py:185-192) —
     engine runs the generic Sutherland–Hodgman clip; the oracle uses the
-    closed rect∩rect form."""
+    closed rect∩rect form. Footprint WKB is built DISTRIBUTED (pandas UDF
+    over the box table — no driver collect on the scaling side; the 25-row
+    AOI dim side stays a driver-built broadcast fixture)."""
     from gis_scripts_spark.operators import coverage_join as cj
 
-    boxes = _supplier_boxes(_pq(spark, sf_dir, "supplier")).collect()
-    fps = pd.DataFrame(
-        {
-            "image_id": [f"fp_{int(r['id']):04d}" for r in boxes],
-            "wkb": [
-                bytearray(wkb_mod.bbox_to_wkb(r["x_min"], r["y_min"], r["x_max"], r["y_max"]))
-                for r in boxes
-            ],
-        }
+    boxes = _supplier_boxes(_pq(spark, sf_dir, "supplier"))
+    bbox_wkb = _bbox_wkb_udf()
+    fp_df = boxes.select(
+        F.concat(F.lit("fp_"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("image_id"),
+        bbox_wkb("x_min", "y_min", "x_max", "y_max").alias("wkb"),
     )
-    fp_df = spark.createDataFrame(fps)
     nations = _pq(spark, sf_dir, "nation").select("n_nationkey").collect()
     rects = pd.DataFrame(
         [
@@ -648,6 +713,90 @@ def q_image_histogram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zonal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U agreement test over zonal percentages
+    (Assess_Agreement.R:68-94): per-AOI 'click' vs 'view' percentage
+    distributions, one-sided 'less', rank-biserial effect + magnitude
+    label. The zonal rollup is distributed; the 2-class test is the
+    driver-side finisher exactly like the reference's per-site R call.
+    FULL oracle row: U is re-derived in SQL from the pairwise definition."""
+    from gis_scripts_spark import stats as stats_mod
+
+    zones = q_zonal_event_stats(spark, sf_dir)
+    out = stats_mod.zonal_agreement(zones, "event_type", "pct", "click", "view", "less")
+    out["Median"] = out["Median"].round(6)
+    out["Rank_biserial"] = out["Rank_biserial"].round(6)
+    return spark.createDataFrame(out[["Class", "n", "Median", "Rank_biserial", "Difference"]])
+
+
+SQL_ZONAL_AGREEMENT = f"""
+WITH pts AS (SELECT event_id, event_type, {_SQL_LON.format(k='event_id')} AS lon,
+                    {_SQL_LAT.format(k='event_id')} AS lat FROM events),
+rects AS ({_SQL_NATION_RECTS}),
+pairs AS (SELECT event_id, event_type, poly_id FROM pts JOIN rects
+          ON lon > x0 AND lon < x1 AND lat > y0 AND lat < y1),
+counts AS (SELECT poly_id, event_type, COUNT(*) AS n FROM pairs GROUP BY 1, 2),
+pct AS (SELECT poly_id, event_type,
+               n * 100.0 / SUM(n) OVER (PARTITION BY poly_id) AS pct FROM counts),
+a AS (SELECT pct AS v FROM pct WHERE event_type = 'click'),
+b AS (SELECT pct AS v FROM pct WHERE event_type = 'view'),
+u AS (SELECT SUM(CASE WHEN a.v > b.v THEN 1.0 WHEN a.v = b.v THEN 0.5 ELSE 0.0 END) AS u1
+      FROM a CROSS JOIN b),
+m AS (SELECT (SELECT COUNT(*) FROM a) AS n_a, (SELECT COUNT(*) FROM b) AS n_b,
+             (SELECT quantile_cont(v, 0.5) FROM a) AS med_a,
+             (SELECT quantile_cont(v, 0.5) FROM b) AS med_b,
+             (SELECT u1 FROM u) AS u1),
+r AS (SELECT *, ROUND(2.0 * u1 / (n_a * n_b) - 1.0, 6) AS rb FROM m),
+lbl AS (SELECT *, CASE WHEN ABS(rb) < 0.1 THEN 'Negligible'
+                       WHEN ABS(rb) < 0.3 THEN 'Small'
+                       WHEN ABS(rb) < 0.5 THEN 'Moderate'
+                       ELSE 'Large' END AS diff FROM r)
+SELECT 'click' AS Class, n_a AS n, ROUND(med_a, 6) AS Median,
+       rb AS Rank_biserial, diff AS Difference FROM lbl
+UNION ALL
+SELECT 'view' AS Class, n_b AS n, ROUND(med_b, 6) AS Median,
+       rb AS Rank_biserial, diff AS Difference FROM lbl
+"""
+
+
+def q_mosaic_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pixel-level mosaic compositing (rows-only: output is image bytes):
+    deterministically overlapping synthetic scenes -> per-tile last-wins
+    composite (gdal_merge semantics, merge_tif_files.py:48-58). Emits
+    tile ids + source/valid-pixel counts + the md5 of the composite bytes
+    (RAW1 encode is bit-deterministic, so the hash is parallelism-stable);
+    pixel exactness vs a numpy paint oracle is proven in
+    tests/test_mosaic.py."""
+    from gis_scripts_spark.operators import mosaic as mosaic_mod
+    from gis_scripts_spark.raster import codec as codec_mod
+    from gis_scripts_spark.raster.match import RES_DEG
+    from gis_scripts_spark.sources import synth as synth_mod
+
+    n = 60 if "0.01" in sf_dir else 30
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(n):
+        px = rng.integers(0, 200, (32, 32, 1)).astype(np.int16)
+        px[px < 10] = -9999  # planted nodata holes
+        rows.append(
+            {
+                "image_id": f"mc_{i:04d}",
+                "bytes": bytearray(codec_mod.raw_encode(px)),
+                "w": 32, "h": 32, "fmt": "raw", "caption": f"scene {i}",
+                "phash": 0,
+                "lon": float((i % 10) * 16 * RES_DEG),  # 50% horizontal overlap
+                "lat": float((i // 10) * 16 * RES_DEG),
+                "nodata": -9999.0, "bands": 1,
+            }
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=synth_mod.IMAGE_SCHEMA)
+    out = mosaic_mod.mosaic_composite(df, tile_px=64, order="last", nodata_col="nodata",
+                                      fill_value=-9999.0)
+    return out.select(
+        "tile_x", "tile_y", "n_sources", "n_valid_px", F.md5("bytes").alias("tile_md5")
+    )
+
+
 QUERIES: dict = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -664,6 +813,8 @@ QUERIES: dict = {
     "minhash_lsh_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "text_quality": q_text_quality,
+    "text_fingerprint": q_text_fingerprint,
+    "zonal_agreement": q_zonal_agreement,
     "topk_events_per_user": q_topk_events_per_user,
     "zonal_event_stats": q_zonal_event_stats,
     "mosaic_last_wins": q_mosaic_last_wins,
@@ -676,6 +827,7 @@ QUERIES: dict = {
     # equivalent; exactness proven by tests/ numpy oracles)
     "image_pipeline_zonal": q_image_pipeline_zonal,
     "image_histogram_match": q_image_histogram_match,
+    "mosaic_composite": q_mosaic_composite,
 }
 
 ORACLES: dict[str, str] = {
@@ -691,9 +843,14 @@ ORACLES: dict[str, str] = {
     "text_stats": SQL_TEXT_STATS,
     "embed_cosine_top3": SQL_EMBED_TOPK,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
-    # minhash_lsh_pairs, simhash_pairs, text_quality: engine-defined hashing
-    # heuristics with no ANSI-SQL equivalent -> rows-only driver check;
-    # their exactness/recall is asserted in tests/test_dedup_text.py.
+    "simhash_pairs": SQL_SIMHASH,
+    "text_quality": SQL_TEXT_QUALITY,
+    "zonal_agreement": SQL_ZONAL_AGREEMENT,
+    # minhash_lsh_pairs, text_fingerprint: engine-defined hashing (blake2b
+    # signatures / winnowing) with no ANSI-SQL equivalent -> rows-only
+    # driver check; exactness/recall asserted in tests/test_dedup_text.py.
+    # mosaic_composite / image_*: bytes pipelines -> rows-only; pixel
+    # exactness proven by numpy oracles in tests/.
     "topk_events_per_user": SQL_TOPK_EVENTS,
     "zonal_event_stats": SQL_ZONAL_EVENTS,
     "mosaic_last_wins": SQL_MOSAIC,

@@ -95,8 +95,15 @@ def dark_object_subtract(
     rayleigh_exp: float = -4.0,
 ) -> DataFrame:
     """Rayleigh-scaled DOS subtraction per band (P16;
-    ``seagrass_lib.py:376-427``). `dos_ref` is typically
-    agg(min(dos)) across images (A9) — two-pass scalar broadcast."""
+    ``seagrass_lib.py:376-427``): scatter_b = dos_ref *
+    (wavelength_b / ref_wavelength) ** rayleigh_exp. `dos_ref` is typically
+    agg(min(dos)) across images (A9) — two-pass scalar broadcast.
+
+    Sign convention: `rayleigh_exp` multiplies the RATIO wl/ref directly, so
+    it must be NEGATIVE (default -4.0) for the physical red-sky falloff. The
+    reference parameterizes the inverse ratio with a positive exponent
+    (rayleighExp 4.75); to port its constant, pass the NEGATED value
+    (rayleigh_exp=-4.75)."""
     scatters = [
         dos_ref * (wl / ref_wavelength) ** rayleigh_exp for wl in wavelengths
     ]

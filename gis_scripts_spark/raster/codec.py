@@ -144,23 +144,63 @@ def qnt_decode(buf: bytes) -> np.ndarray:
     return ((q.astype(np.uint16) << shift) + (1 << (shift - 1))).clip(0, 255).astype(np.uint8)
 
 
+# --------------------------------------------------- RAW (typed, lossless)
+# The non-uint8 path: the reference's dominant data is int16/float32 GeoTIFF
+# with -9999/-32768 nodata sentinels (global_match.py:212, local_match.py:436,
+# seagrass_lib.py:244). No GDAL in the sandbox, so RAW1 is the typed lossless
+# band container: magic + dtype code + shape + zlib(native-endian pixels).
+_RAW_MAGIC = b"RAW1"
+_RAW_DTYPES = {0: np.dtype(np.uint8), 1: np.dtype(np.int16), 2: np.dtype(np.float32),
+               3: np.dtype(np.float64), 4: np.dtype(np.int32)}
+_RAW_CODES = {v: k for k, v in _RAW_DTYPES.items()}
+
+
+def raw_encode(img: np.ndarray) -> bytes:
+    """img: (h, w[, bands]) uint8/int16/int32/float32/float64 -> RAW1 bytes
+    (lossless, dtype-preserving)."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    dt = np.dtype(img.dtype)
+    code = _RAW_CODES.get(dt)
+    if code is None:
+        raise ValueError(f"unsupported raw dtype {dt}")
+    h, w, bands = img.shape
+    head = _RAW_MAGIC + struct.pack("<BIIB", code, w, h, bands)
+    return head + zlib.compress(np.ascontiguousarray(img).tobytes(), 6)
+
+
+def raw_decode(buf: bytes) -> np.ndarray:
+    if buf[:4] != _RAW_MAGIC:
+        raise ValueError("not RAW1")
+    code, w, h, bands = struct.unpack_from("<BIIB", buf, 4)
+    dt = _RAW_DTYPES[code]
+    data = np.frombuffer(zlib.decompress(buf[14:]), dt)
+    return data.reshape(h, w, bands).copy()
+
+
 def encode(img: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return png_encode(img)
     if fmt == "qnt":
         return qnt_encode(img)
+    if fmt == "raw":
+        return raw_encode(img)
     if fmt == "jpeg":
         raise NotImplementedError("no JPEG codec in sandbox — use fmt='qnt' for the lossy path")
     raise ValueError(f"unknown fmt {fmt}")
 
 
 def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
-    """(h, w, bands) uint8 from encoded bytes; sniffs format if fmt None."""
+    """(h, w, bands) array from encoded bytes; sniffs format if fmt None.
+    uint8 for png/qnt; native dtype (int16/float32/...) for raw."""
     head = bytes(buf[:8])
     if fmt == "png" or head.startswith(_PNG_SIG[:4]):
         return png_decode(bytes(buf))
     if fmt == "qnt" or head.startswith(_QNT_MAGIC):
         return qnt_decode(bytes(buf))
+    if fmt == "raw" or head.startswith(_RAW_MAGIC):
+        return raw_decode(bytes(buf))
     if fmt == "jpeg":
         raise NotImplementedError("no JPEG codec in sandbox")
     raise ValueError("unknown image format")

@@ -25,6 +25,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     DoubleType,
     IntegerType,
     LongType,
@@ -63,58 +64,180 @@ def footprints(images: DataFrame) -> DataFrame:
     )
 
 
-def overlap_pair_stats(images: DataFrame, z: int = 10) -> DataFrame:
-    """J1 + J2: overlap pairs, then per-pair per-band masked stats over the
-    shared window (global_match.py:76-198). Bands beyond min(bands_i,
-    bands_j) are skipped, mirroring the reference's shared band loop."""
+_SIDE_STATS_SCHEMA = StructType(
+    [
+        StructField("id_i", StringType(), False),
+        StructField("id_j", StringType(), False),
+        StructField("side", IntegerType(), False),
+        StructField("band", IntegerType(), False),
+        StructField("mean", DoubleType(), False),
+        StructField("std", DoubleType(), False),
+        StructField("size", LongType(), False),
+    ]
+)
+
+
+def _pair_window_lists(images: DataFrame, z: int) -> DataFrame:
+    """(image_id, _wins[array<struct id_i,id_j,side,ix_min..iy_max>]) —
+    every overlap window each image participates in, aggregated to ONE row
+    per image so the image decodes exactly once downstream. Derived from
+    footprints only (no bytes); its size is O(pairs), broadcast-joinable."""
     fp = footprints(images)
     pairs = overlap_join.bbox_overlap_join(fp, z=z, id_col="id")
+    rect = [F.col(c) for c in ("ix_min", "iy_min", "ix_max", "iy_max")]
+    win_i = pairs.select(
+        F.col("id_i").alias("image_id"),
+        F.struct(F.col("id_i"), F.col("id_j"), F.lit(0).alias("side"), *rect).alias("_win"),
+    )
+    win_j = pairs.select(
+        F.col("id_j").alias("image_id"),
+        F.struct(F.col("id_i"), F.col("id_j"), F.lit(1).alias("side"), *rect).alias("_win"),
+    )
+    return (
+        win_i.unionByName(win_j)
+        .groupBy("image_id")
+        .agg(F.collect_list("_win").alias("_wins"))
+    )
 
-    img_i = images.select(
-        F.col("image_id").alias("id_i"),
-        F.col("bytes").alias("_bytes_i"),
-        F.col("fmt").alias("_fmt_i"),
-        F.col("lon").alias("_lon_i"),
-        F.col("lat").alias("_lat_i"),
-        F.col("h").alias("_h_i"),
-    )
-    img_j = images.select(
-        F.col("image_id").alias("id_j"),
-        F.col("bytes").alias("_bytes_j"),
-        F.col("fmt").alias("_fmt_j"),
-        F.col("lon").alias("_lon_j"),
-        F.col("lat").alias("_lat_j"),
-        F.col("h").alias("_h_j"),
-    )
-    joined = pairs.join(img_i, "id_i").join(img_j, "id_j")
+
+def overlap_pair_stats(images: DataFrame, z: int = 10, nodata_col: str | None = None) -> DataFrame:
+    """J1 + J2: overlap pairs, then per-pair per-band stats over the shared
+    window (global_match.py:76-198). Bands beyond min(bands_i, bands_j) are
+    skipped (the inner join on `band` drops them), mirroring the reference's
+    shared band loop.
+
+    Scale shape (SURVEY §7.4 — image bytes NEVER enter a shuffle): the tiny
+    per-image window list (derived from footprints) is broadcast onto the
+    image table; each image decodes ONCE, map-locally, and emits one stat
+    row per (pair, side, band); the final pair table is an equi-join of
+    stat rows only. Zero bytes shuffled, each image decoded exactly once —
+    vs the reference's per-pair re-read (the quadratic-I/O miss,
+    SURVEY §4.1).
+
+    `nodata_col`: name of a per-image nodata column — window stats then
+    mask that side's own sentinel (per-side masks; for the reference's
+    joint mask AND, global_match.py:149-173, use overlap_pair_stats_joint).
+    """
+    wins = _pair_window_lists(images, z)
+    sel = ["image_id", "bytes", "fmt", "lon", "lat", "h"] + ([nodata_col] if nodata_col else [])
+    joined = images.select(*sel).join(F.broadcast(wins), "image_id", "inner")
 
     def run(batches):
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
-                a = codec.decode(bytes(row["_bytes_i"]), row["_fmt_i"]).astype(np.float64)
-                b = codec.decode(bytes(row["_bytes_j"]), row["_fmt_j"]).astype(np.float64)
-                win_a = _window(a, row["_lon_i"], row["_lat_i"], int(row["_h_i"]),
-                                row["ix_min"], row["iy_min"], row["ix_max"], row["iy_max"])
-                win_b = _window(b, row["_lon_j"], row["_lat_j"], int(row["_h_j"]),
-                                row["ix_min"], row["iy_min"], row["ix_max"], row["iy_max"])
-                hh = min(win_a.shape[0], win_b.shape[0])
-                ww = min(win_a.shape[1], win_b.shape[1])
-                if hh == 0 or ww == 0:
-                    continue
-                win_a, win_b = win_a[:hh, :ww], win_b[:hh, :ww]
-                nb = min(win_a.shape[2], win_b.shape[2])
-                for band in range(nb):
-                    va = win_a[:, :, band].ravel()
-                    vb = win_b[:, :, band].ravel()
-                    rows.append(
-                        (row["id_i"], row["id_j"], band,
-                         float(va.mean()), float(va.std()),
-                         float(vb.mean()), float(vb.std()), int(va.size))
-                    )
-            yield pd.DataFrame(rows, columns=[f.name for f in PAIR_STATS_SCHEMA.fields])
+                img = codec.decode(bytes(row["bytes"]), row["fmt"]).astype(np.float64)
+                nodata = float(row[nodata_col]) if nodata_col else None
+                for wrec in row["_wins"]:
+                    win = _window(img, row["lon"], row["lat"], int(row["h"]),
+                                  wrec["ix_min"], wrec["iy_min"], wrec["ix_max"], wrec["iy_max"])
+                    if win.shape[0] == 0 or win.shape[1] == 0:
+                        continue
+                    for band in range(win.shape[2]):
+                        v = win[:, :, band].ravel()
+                        if nodata is not None:
+                            v = v[v != nodata]
+                        if v.size == 0:
+                            rows.append((wrec["id_i"], wrec["id_j"], int(wrec["side"]),
+                                         band, 0.0, 0.0, 0))
+                        else:
+                            rows.append((wrec["id_i"], wrec["id_j"], int(wrec["side"]),
+                                         band, float(v.mean()), float(v.std()), int(v.size)))
+            yield pd.DataFrame(rows, columns=[f.name for f in _SIDE_STATS_SCHEMA.fields])
 
-    return joined.mapInPandas(run, PAIR_STATS_SCHEMA)
+    side_stats = joined.mapInPandas(run, _SIDE_STATS_SCHEMA)
+    si = side_stats.filter(F.col("side") == 0).select(
+        "id_i", "id_j", "band",
+        F.col("mean").alias("mean_i"), F.col("std").alias("std_i"),
+        F.col("size").alias("size_i"),
+    )
+    sj = side_stats.filter(F.col("side") == 1).select(
+        "id_i", "id_j", "band",
+        F.col("mean").alias("mean_j"), F.col("std").alias("std_j"),
+        F.col("size").alias("size_j"),
+    )
+    # both sides clip the same world rect on the same RES grid, so sizes
+    # agree; least() is the defensive choice for a 1-px rounding asymmetry
+    return si.join(sj, ["id_i", "id_j", "band"]).select(
+        "id_i", "id_j", "band", "mean_i", "std_i", "mean_j", "std_j",
+        F.least("size_i", "size_j").alias("size"),
+    )
+
+
+def overlap_pair_stats_joint(
+    images: DataFrame, z: int = 10, nodata_col: str = "nodata"
+) -> DataFrame:
+    """Reference-exact joint-mask pair stats (global_match.py:149-173):
+    per-pair per-band stats over pixels valid in BOTH images
+    (mask_i & mask_j), where valid means != that image's nodata sentinel.
+
+    Scale shape: joint masking needs both windows together, so the MINIMAL
+    exchange is the overlap crop itself — each image ships only its clipped
+    float32 window per pair (never the whole image) keyed by pair id; the
+    per-pair cogroup ANDs the masks. Shuffle volume = 2 × overlap pixels,
+    the information-theoretic floor for this semantics."""
+    crop_schema = StructType(
+        [
+            StructField("id_i", StringType(), False),
+            StructField("id_j", StringType(), False),
+            StructField("side", IntegerType(), False),
+            StructField("h", IntegerType(), False),
+            StructField("w", IntegerType(), False),
+            StructField("bands", IntegerType(), False),
+            StructField("crop", BinaryType(), False),
+            StructField("nodata", DoubleType(), True),
+        ]
+    )
+    wins = _pair_window_lists(images, z)
+    sel = ["image_id", "bytes", "fmt", "lon", "lat", "h", nodata_col]
+    joined = images.select(*sel).join(F.broadcast(wins), "image_id", "inner")
+
+    def crops(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                img = codec.decode(bytes(row["bytes"]), row["fmt"]).astype(np.float32)
+                nd = row[nodata_col]
+                nd = float(nd) if nd is not None and not pd.isna(nd) else None
+                for wrec in row["_wins"]:
+                    win = _window(img, row["lon"], row["lat"], int(row["h"]),
+                                  wrec["ix_min"], wrec["iy_min"], wrec["ix_max"], wrec["iy_max"])
+                    if win.shape[0] == 0 or win.shape[1] == 0:
+                        continue
+                    rows.append(
+                        (wrec["id_i"], wrec["id_j"], int(wrec["side"]),
+                         win.shape[0], win.shape[1], win.shape[2],
+                         bytearray(np.ascontiguousarray(win).tobytes()), nd)
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in crop_schema.fields])
+
+    crop_df = joined.mapInPandas(crops, crop_schema)
+
+    def joint(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        sides = {int(r["side"]): r for _, r in pdf.iterrows()}
+        if 0 in sides and 1 in sides:
+            ri, rj = sides[0], sides[1]
+            a = np.frombuffer(bytes(ri["crop"]), np.float32).reshape(ri["h"], ri["w"], ri["bands"])
+            b = np.frombuffer(bytes(rj["crop"]), np.float32).reshape(rj["h"], rj["w"], rj["bands"])
+            hh, ww = min(a.shape[0], b.shape[0]), min(a.shape[1], b.shape[1])
+            a, b = a[:hh, :ww], b[:hh, :ww]
+            for band in range(min(a.shape[2], b.shape[2])):
+                va, vb = a[:, :, band], b[:, :, band]
+                m = np.ones((hh, ww), bool)
+                if ri["nodata"] is not None and not pd.isna(ri["nodata"]):
+                    m &= va != np.float32(ri["nodata"])
+                if rj["nodata"] is not None and not pd.isna(rj["nodata"]):
+                    m &= vb != np.float32(rj["nodata"])
+                sa, sb = va[m].astype(np.float64), vb[m].astype(np.float64)
+                if sa.size == 0:
+                    rows.append((key[0], key[1], band, 0.0, 0.0, 0.0, 0.0, 0))
+                else:
+                    rows.append((key[0], key[1], band, float(sa.mean()), float(sa.std()),
+                                 float(sb.mean()), float(sb.std()), int(sa.size)))
+        return pd.DataFrame(rows, columns=[f.name for f in PAIR_STATS_SCHEMA.fields])
+
+    return crop_df.groupBy("id_i", "id_j").applyInPandas(joint, PAIR_STATS_SCHEMA)
 
 
 def _window(img: np.ndarray, lon: float, lat: float, h_px: int,
@@ -198,13 +321,22 @@ def solve_gains(
 
 
 def global_match(images: DataFrame, z: int = 10,
-                 mean_factor: float = 1.0, std_factor: float = 1.0) -> tuple[DataFrame, pd.DataFrame]:
-    """Full pipeline: returns (adjusted_images_df, params_pdf)."""
+                 mean_factor: float = 1.0, std_factor: float = 1.0,
+                 joint_mask: bool = False,
+                 nodata_col: str | None = None) -> tuple[DataFrame, pd.DataFrame]:
+    """Full pipeline: returns (adjusted_images_df, params_pdf).
+
+    `joint_mask=True` uses the reference-exact AND of both images' validity
+    masks for the pair-window stats (overlap crops shuffle); default False
+    keeps pair stats per-side and fully bytes-free."""
     from gis_scripts_spark.raster import ops
 
     spark = images.sparkSession
-    pair_stats = overlap_pair_stats(images, z=z).toPandas()
-    whole = ops.band_stats(images).toPandas()
+    if joint_mask:
+        pair_stats = overlap_pair_stats_joint(images, z=z, nodata_col=nodata_col or "nodata").toPandas()
+    else:
+        pair_stats = overlap_pair_stats(images, z=z, nodata_col=nodata_col).toPandas()
+    whole = ops.band_stats(images, nodata_col=nodata_col).toPandas()
     params = solve_gains(pair_stats, whole, mean_factor, std_factor)
     params_df = spark.createDataFrame(params) if len(params) else spark.createDataFrame(
         pd.DataFrame({"image_id": pd.Series(dtype=str), "band": pd.Series(dtype=np.int32),

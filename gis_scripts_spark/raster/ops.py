@@ -171,6 +171,89 @@ def stretch_percentile(df: DataFrame, breakpoints: list[tuple[float, float]]) ->
     return _transform_bytes(df, k)
 
 
+def parse_breakpoint_value(band: np.ndarray, valid_mask: np.ndarray, val) -> float:
+    """Reference breakpoint grammar (stretch_spectral_values.py:50-79):
+    numeric -> literal; 'P@' -> P-th percentile over valid NON-NEGATIVE
+    pixels; 'P%' -> P-th percentile over all valid pixels; other strings ->
+    float literal."""
+    if isinstance(val, (int, float)):
+        return float(val)
+    s = str(val).strip()
+    if s.endswith("@"):
+        d = band[valid_mask].astype(np.float64).copy()
+        d[d < 0] = np.nan
+        return float(np.nanpercentile(d, float(s[:-1])))
+    if s.endswith("%"):
+        return float(np.nanpercentile(band[valid_mask].astype(np.float64), float(s[:-1])))
+    return float(s)
+
+
+def stretch_spectral(
+    df: DataFrame,
+    stretch_dict: dict,
+    smoothing: float = 0.0,
+    offset: float = 0.0,
+    nodata_col: str | None = None,
+) -> DataFrame:
+    """Full reference stretch semantics (stretch_spectral_values.py:46-145):
+    breakpoints resolved per image per band in DICT ORDER (no sorting —
+    reference parity), each key/value a literal or 'P%'/'P@' percentile;
+    np.interp over valid pixels; optional gaussian smoothing (mask zeroed
+    before the filter, valid pixels restored after — the reference's
+    gaussian_filter step, here a separable symmetric-pad convolution since
+    scipy is absent); `offset` added to valid pixels last. Nodata pixels
+    keep their sentinel."""
+    sel_extra = [nodata_col] if nodata_col else []
+
+    def gauss1d(arr, sigma, axis):
+        radius = int(4.0 * sigma + 0.5)  # scipy truncate=4.0 convention
+        xs = np.arange(-radius, radius + 1, dtype=np.float64)
+        kern = np.exp(-(xs**2) / (2.0 * sigma * sigma))
+        kern /= kern.sum()
+        pad = [(0, 0)] * arr.ndim
+        pad[axis] = (radius, radius)
+        padded = np.pad(arr, pad, mode="symmetric")
+        out = np.zeros_like(arr)
+        sl = [slice(None)] * arr.ndim
+        for i, w in enumerate(kern):
+            sl[axis] = slice(i, i + arr.shape[axis])
+            out += w * padded[tuple(sl)]
+        return out
+
+    def k(img, row):
+        f = img.astype(np.float64)
+        nd = None
+        if nodata_col is not None:
+            v = row[nodata_col]
+            nd = float(v) if v is not None and not pd.isna(v) else None
+        out = np.empty_like(f)
+        for b in range(f.shape[2]):
+            band = f[:, :, b]
+            mask = (band == nd) if nd is not None else np.isnan(band)
+            valid = ~mask
+            in_vals = [parse_breakpoint_value(band, valid, kk) for kk in stretch_dict]
+            out_vals = [parse_breakpoint_value(band, valid, vv) for vv in stretch_dict.values()]
+            stretched = np.full_like(band, np.nan)
+            stretched[valid] = np.interp(band[valid], in_vals, out_vals)
+            if smoothing > 0:
+                tmp = stretched.copy()
+                tmp[mask] = 0.0
+                tmp = gauss1d(gauss1d(tmp, smoothing, 0), smoothing, 1)
+                stretched[valid] = tmp[valid]
+            if offset != 0:
+                stretched[valid] += offset
+            if nd is not None:
+                stretched[mask] = nd
+            out[:, :, b] = stretched
+        if np.issubdtype(img.dtype, np.integer):
+            info = np.iinfo(img.dtype)
+            return np.clip(np.rint(out), info.min, info.max).astype(img.dtype)
+        return out.astype(img.dtype)
+
+    _ = sel_extra  # nodata column rides the full-row passthrough
+    return _transform_bytes(df, k)
+
+
 def ndwi_mask(df: DataFrame, green_band: int = 1, nir_band: int = 2, threshold: float = 0.0) -> DataFrame:
     """(G - NIR)/(G + NIR) > threshold -> binary mask image
     (seagrass_lib.py:337-342). Requires >= 3 bands; 1-band rows pass
@@ -188,6 +271,52 @@ def ndwi_mask(df: DataFrame, green_band: int = 1, nir_band: int = 2, threshold: 
     # mask output is 1-band -> w/h preserved, bands becomes 1
     out = _transform_bytes(df, k)
     return out.withColumn("bands", F.lit(1))
+
+
+def mask_by_binary_image(
+    df: DataFrame,
+    masks: DataFrame,
+    nodata: float = 0.0,
+    mask_id: str = "image_id",
+    mask_true: float = 1.0,
+) -> DataFrame:
+    """Mask every band by a same-grid binary image: where mask==1 keep the
+    pixel, else write the nodata sentinel
+    (``raster/mask_image_by_binary_image.py:67-69``).
+
+    `masks`: (image_id, bytes, fmt) binary rasters (band 0 used), equi-joined
+    per image — broadcast when small (the common one-mask-per-scene case).
+    Grid alignment is the caller's contract, as in the reference (which
+    nearest-reprojects onto the mask grid first; use tile snap/resize ops
+    for that step here)."""
+    m = masks.select(
+        F.col(mask_id).alias("image_id"),
+        F.col("bytes").alias("_mask_bytes"),
+        F.col("fmt").alias("_mask_fmt"),
+    )
+    joined = df.join(F.broadcast(m), "image_id", "left")
+    schema = df.schema
+
+    def run(batches):
+        for pdf in batches:
+            out_bytes = []
+            for _, row in pdf.iterrows():
+                img = codec.decode(bytes(row["bytes"]), row["fmt"])
+                if row["_mask_bytes"] is not None:
+                    mask = codec.decode(bytes(row["_mask_bytes"]), row["_mask_fmt"])[:, :, 0]
+                    hh = min(img.shape[0], mask.shape[0])
+                    ww = min(img.shape[1], mask.shape[1])
+                    out = img.copy()
+                    keep = mask[:hh, :ww] == np.asarray(mask_true, mask.dtype)
+                    region = out[:hh, :ww]
+                    region[~keep] = np.asarray(nodata, img.dtype)
+                    img = out
+                out_bytes.append(bytearray(codec.encode(img, row["fmt"])))
+            pdf = pdf.copy()
+            pdf["bytes"] = out_bytes
+            yield pdf[[f.name for f in schema.fields]]
+
+    return joined.mapInPandas(run, schema)
 
 
 def replace_connected(df: DataFrame, find: int, replace: int, min_size: int, connectivity: int = 4) -> DataFrame:
@@ -324,18 +453,30 @@ def clip_to_polygon(df: DataFrame, polys_wkb: bytes, nodata_value: int = 0) -> D
 
 
 # ------------------------------------------------------------------ stats
-def band_stats(df: DataFrame, nodata: int | None = None) -> DataFrame:
+def band_stats(
+    df: DataFrame, nodata: float | None = None, nodata_col: str | None = None
+) -> DataFrame:
     """Per-image per-band masked mean/std/min/max/count
-    (global_match.py:152-164; std is population std like np.std)."""
+    (global_match.py:152-164; std is population std like np.std).
+
+    `nodata`: one scalar sentinel for the whole table; `nodata_col`: name of
+    a per-image sentinel column (the image-table convention, e.g. -9999 for
+    int16 / -32768 for float32 products) — per-row masking, reference
+    parity with ``mask_i = band_data_i != nodata_i``."""
+    sel = ["image_id", "bytes", "fmt"] + ([nodata_col] if nodata_col else [])
 
     def run(batches):
         for pdf in batches:
             rows = []
             for _, row in pdf.iterrows():
                 img = codec.decode(bytes(row["bytes"]), row["fmt"]).astype(np.float64)
+                nd = nodata
+                if nodata_col is not None:
+                    v = row[nodata_col]
+                    nd = float(v) if v is not None and not pd.isna(v) else None
                 for b in range(img.shape[2]):
                     band = img[:, :, b]
-                    valid = band[band != nodata] if nodata is not None else band.ravel()
+                    valid = band[band != nd] if nd is not None else band.ravel()
                     if valid.size == 0:
                         rows.append((row["image_id"], b, 0.0, 0.0, 0.0, 0.0, 0))
                     else:
@@ -345,7 +486,7 @@ def band_stats(df: DataFrame, nodata: int | None = None) -> DataFrame:
                         )
             yield pd.DataFrame(rows, columns=["image_id", "band", "mean", "std", "min", "max", "n_valid"])
 
-    return df.select("image_id", "bytes", "fmt").mapInPandas(run, STATS_SCHEMA)
+    return df.select(*sel).mapInPandas(run, STATS_SCHEMA)
 
 
 PRED_SCHEMA = StructType(

@@ -61,6 +61,21 @@ def test_pip_join_broadcasts_cover_and_keeps_bytes_out_of_shuffle(spark, images_
     assert "bytes" not in scan_schema  # pruned at the source too
 
 
+def test_match_pair_stats_bytes_free(spark, images_parquet):
+    """SURVEY §7.4 invariant on the histogram-match pipeline: the pair-
+    window stats plan must not carry image bytes through ANY Exchange
+    (the window list broadcasts onto the image scan; only stat rows
+    shuffle)."""
+    from gis_scripts_spark.raster import match
+
+    images = spark.read.parquet(images_parquet)
+    stats = match.overlap_pair_stats(images, z=10)
+    plan = _plan(stats)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    for ex in re.findall(r"Exchange [^\n]*", plan):
+        assert "bytes" not in ex, ex
+
+
 def test_knn_shuffles_only_keys(spark, images_parquet):
     from gis_scripts_spark.operators import knn
 
