@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "image_pipeline_zonal",
     "image_histogram_match",
     "mosaic_composite",
+    "reproject_utm",
+    "seamless_mosaic",
 ]
 
 

@@ -135,9 +135,14 @@ def minhash_lsh_pairs(
     corpus for near-dup-sparse web text."""
     rows_per_band = n_perm // bands
     sig = minhash_signature_udf(n_perm, shingle_n)
-    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text")).withColumn(
-        "_sig", sig(F.col("_text"))
-    )
+    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_text"))
+    # the signature UDF is the expensive stage: make sure it runs wide even
+    # when the source is a single small file (one-pass row-wise exchange —
+    # corpus-size volume, nothing like the xbands band explode)
+    sc = df.sparkSession.sparkContext
+    if base.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(sc.defaultParallelism)
+    base = base.withColumn("_sig", sig(F.col("_text")))
 
     band_cols = [
         F.struct(
@@ -154,16 +159,28 @@ def minhash_lsh_pairs(
         )
         for bi in range(bands)
     ]
-    # ids-only band table: the only thing the LSH self-join shuffles
+    # ids-only band table: the only thing the LSH self-join shuffles.
+    # persist: both self-join sides read it, so the (expensive) signature
+    # UDF runs ONCE per document; the cache is released when the caller
+    # drops the returned DataFrame (weakref finalizer, as in knn_join) —
+    # it holds only (id, band, bhash) rows, never text
     banded = base.withColumn("_band", F.explode(F.array(*band_cols))).select(
         "_id", F.col("_band.band").alias("band"), F.col("_band.bhash").alias("bhash")
-    )
+    ).persist()
 
     left = banded.select(F.col("_id").alias("id_a"), "band", "bhash")
     right = banded.select(F.col("_id").alias("id_b"), "band", "bhash")
     cand = left.join(right, ["band", "bhash"]).filter(F.col("id_a") < F.col("id_b"))
     # report-once by min band: groupBy aggregates map-side (no window sort)
     pairs = cand.groupBy("id_a", "id_b").agg(F.min("band").alias("_first_band")).drop("_first_band")
+
+    import weakref
+
+    def _release(h=banded):
+        try:
+            h.unpersist(False)
+        except Exception:
+            pass  # session already stopped
 
     if not verify:
         # estimated jaccard from signature agreement (JVM-side zip_with);
@@ -179,7 +196,9 @@ def minhash_lsh_pairs(
             ).cast("double")
             / F.lit(n_perm)
         ).alias("est_jaccard")
-        return pairs.select("id_a", "id_b", est)
+        out = pairs.select("id_a", "id_b", est)
+        weakref.finalize(out, _release)
+        return out
 
     # texts joined back once per surviving pair (never through the explode)
     txt = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"))
@@ -198,7 +217,9 @@ def minhash_lsh_pairs(
         return pd.Series(out)
 
     out = pairs.select("id_a", "id_b", jaccard(F.col("_ta"), F.col("_tb")).alias("jaccard"))
-    return out.filter(F.col("jaccard") >= threshold)
+    out = out.filter(F.col("jaccard") >= threshold)
+    weakref.finalize(out, _release)
+    return out
 
 
 # ----------------------------------------------------------------- simhash

@@ -25,9 +25,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import BooleanType, LongType, StructField, StructType
 
+import hashlib
+
 from gis_scripts_spark.geom import core as geom
 from gis_scripts_spark.geom import wkb as wkb_mod
 from gis_scripts_spark.index import cells as cells_mod
+
+# (z, polygon-content fingerprint) -> cover pandas frame; static AOI layers
+# cover once per process, not once per query
+_COVER_CACHE: dict = {}
 
 
 def build_cover_df(
@@ -157,7 +163,41 @@ def pip_join(
     spark = points_df.sparkSession
     if z == "auto":
         z = auto_zoom(polys_df, wkb_col)
-    cover = build_cover_df(spark, polys_df, z, poly_id, wkb_col)
+
+    rows = None
+    if broadcast_cover:
+        # the AOI layer is static dimension data: build its cover ONCE per
+        # (polygon content, z) and reuse across queries — the cover is the
+        # analogue of a prepared dimension index, not per-query work. The
+        # collect below is required by the broadcast path anyway.
+        rows = polys_df.select(poly_id, wkb_col).collect()
+        key = (z, tuple(sorted((r[0], hashlib.md5(bytes(r[1])).hexdigest()) for r in rows)))
+        cached = _COVER_CACHE.get(key)
+        if cached is None:
+            import pandas as _pd
+
+            ids, cs, fs = [], [], []
+            for r in rows:
+                polys = wkb_mod.from_wkb(bytes(r[1]))
+                cc, ff = geom.cover_polygon(polys, z)
+                ids.extend([r[0]] * len(cc))
+                cs.append(cc)
+                fs.append(ff)
+            cached = _pd.DataFrame(
+                {
+                    "poly_id": ids,
+                    "cell": np.concatenate(cs) if cs else np.empty(0, np.int64),
+                    "full": np.concatenate(fs) if fs else np.empty(0, bool),
+                }
+            )
+            if len(_COVER_CACHE) > 32:
+                _COVER_CACHE.clear()
+            _COVER_CACHE[key] = cached
+        cover = spark.createDataFrame(cached) if len(cached) else build_cover_df(
+            spark, polys_df, z, poly_id, wkb_col
+        )
+    else:
+        cover = build_cover_df(spark, polys_df, z, poly_id, wkb_col)
 
     pts = points_df.withColumn("cell", cell_expr(lon, lat, z))
 
@@ -182,8 +222,8 @@ def pip_join(
         join_keys = ["cell"]
 
     if broadcast_cover:
-        # small-dim broadcast: collect WKB into the exact-check closure
-        rows = polys_df.select(poly_id, wkb_col).collect()
+        # small-dim broadcast: the WKB rows collected above feed the
+        # exact-check closure
         wkb_by_poly = {r[0]: wkb_mod.from_wkb(bytes(r[1])) for r in rows}
         joined = pts.join(F.broadcast(cover), join_keys, "inner")
         check = _pip_check_udf(wkb_by_poly)

@@ -574,6 +574,10 @@ def q_coverage_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gis_scripts_spark.operators import coverage_join as cj
 
     boxes = _supplier_boxes(_pq(spark, sf_dir, "supplier"))
+    # single-file sources arrive as one partition; widen so the WKB-build
+    # and exact-clip UDF stages run on every core
+    if boxes.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        boxes = boxes.repartition(spark.sparkContext.defaultParallelism)
     bbox_wkb = _bbox_wkb_udf()
     fp_df = boxes.select(
         F.concat(F.lit("fp_"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("image_id"),
@@ -797,6 +801,69 @@ def q_mosaic_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CRS warp (rows-only: output is image bytes): deterministic scenes
+    reprojected to UTM via the from-scratch Snyder transforms
+    (index/proj.py) — per-image output grid + valid-pixel count + byte
+    checksum. Projection exactness proven in tests/test_proj_warp.py."""
+    from gis_scripts_spark.raster import codec as codec_mod
+    from gis_scripts_spark.raster import warp as warp_mod
+    from gis_scripts_spark.sources import synth as synth_mod
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(12):
+        px = rng.integers(0, 1000, (24, 24, 1)).astype(np.int16)
+        rows.append(
+            {
+                "image_id": f"wp_{i:03d}",
+                "bytes": bytearray(codec_mod.raw_encode(px)),
+                "w": 24, "h": 24, "fmt": "raw", "caption": f"warp {i}",
+                "phash": 0,
+                "lon": 14.0 + (i % 4) * 0.03, "lat": 51.8 + (i // 4) * 0.03,
+                "nodata": -9999.0, "bands": 1,
+            }
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=synth_mod.IMAGE_SCHEMA)
+    out = warp_mod.reproject_raster(df, "utm:33n", 120.0, method="nearest")
+    return out.select(
+        "image_id", "crs", "w", "h",
+        F.round("x0", 2).alias("x0"), F.round("y0", 2).alias("y0"),
+        F.md5("bytes").alias("bytes_md5"),
+    )
+
+
+def q_seamless_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE reference flagship end-to-end (rows-only): overlapping
+    shifted scenes -> global histogram match (solve + apply gains) ->
+    per-tile last-wins pixel composite (the gdal.Warp merge step,
+    global_match.py:302-312). Emits tile ids + source counts + byte md5."""
+    from gis_scripts_spark.raster import codec as codec_mod
+    from gis_scripts_spark.raster import match as match_mod
+    from gis_scripts_spark.sources import synth as synth_mod
+
+    rng = np.random.default_rng(42)
+    scene = rng.integers(40, 200, (64, 160, 1)).astype(np.uint8)
+    res = match_mod.RES_DEG
+    rows = []
+    for k, (c0, shift) in enumerate([(0, 0), (48, 15), (96, -10)]):
+        tile = scene[:, c0 : c0 + 64]
+        tile = np.clip(tile.astype(np.int32) + shift, 0, 255).astype(np.uint8)
+        rows.append(
+            {
+                "image_id": f"sm_{k}", "bytes": bytearray(codec_mod.png_encode(tile)),
+                "w": 64, "h": 64, "fmt": "png", "caption": f"seam {k}",
+                "phash": codec_mod.phash64(tile), "lon": c0 * res, "lat": 0.0,
+                "nodata": -9999.0, "bands": 1,
+            }
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=synth_mod.IMAGE_SCHEMA)
+    tiles, _params = match_mod.global_match_mosaic(df, z=13, tile_px=64, order="last")
+    return tiles.select(
+        "tile_x", "tile_y", "n_sources", "n_valid_px", F.md5("bytes").alias("tile_md5")
+    )
+
+
 QUERIES: dict = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -828,6 +895,8 @@ QUERIES: dict = {
     "image_pipeline_zonal": q_image_pipeline_zonal,
     "image_histogram_match": q_image_histogram_match,
     "mosaic_composite": q_mosaic_composite,
+    "reproject_utm": q_reproject_utm,
+    "seamless_mosaic": q_seamless_mosaic,
 }
 
 ORACLES: dict[str, str] = {
@@ -849,8 +918,9 @@ ORACLES: dict[str, str] = {
     # minhash_lsh_pairs, text_fingerprint: engine-defined hashing (blake2b
     # signatures / winnowing) with no ANSI-SQL equivalent -> rows-only
     # driver check; exactness/recall asserted in tests/test_dedup_text.py.
-    # mosaic_composite / image_*: bytes pipelines -> rows-only; pixel
-    # exactness proven by numpy oracles in tests/.
+    # mosaic_composite / seamless_mosaic / reproject_utm / image_*: bytes
+    # pipelines -> rows-only; pixel exactness proven by numpy oracles in
+    # tests/ (test_mosaic.py, test_proj_warp.py, test_raster_ops.py).
     "topk_events_per_user": SQL_TOPK_EVENTS,
     "zonal_event_stats": SQL_ZONAL_EVENTS,
     "mosaic_last_wins": SQL_MOSAIC,

@@ -186,6 +186,10 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
         return qnt_encode(img)
     if fmt == "raw":
         return raw_encode(img)
+    if fmt in ("tif", "tiff", "gtiff"):
+        from gis_scripts_spark.raster import geotiff
+
+        return geotiff.tiff_encode(img)
     if fmt == "jpeg":
         raise NotImplementedError("no JPEG codec in sandbox — use fmt='qnt' for the lossy path")
     raise ValueError(f"unknown fmt {fmt}")
@@ -201,6 +205,10 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
         return qnt_decode(bytes(buf))
     if fmt == "raw" or head.startswith(_RAW_MAGIC):
         return raw_decode(bytes(buf))
+    if fmt in ("tif", "tiff", "gtiff") or head[:2] in (b"II", b"MM"):
+        from gis_scripts_spark.raster import geotiff
+
+        return geotiff.tiff_decode(bytes(buf))[0]
     if fmt == "jpeg":
         raise NotImplementedError("no JPEG codec in sandbox")
     raise ValueError("unknown image format")

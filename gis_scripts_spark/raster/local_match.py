@@ -58,21 +58,34 @@ def _pixel_cells(lon: float, lat: float, h: int, w: int, z: int):
     return cells_mod.pack(z, gx[None, :].repeat(h, 0), gy[:, None].repeat(w, 1))
 
 
-def tile_stats(images: DataFrame, z: int = 12) -> DataFrame:
+def tile_stats(images: DataFrame, z: int = 12, nodata_col: str | None = None) -> DataFrame:
     """Stage A: (image_id, band, cell, sum, cnt) partial aggregates —
-    Spark's map-side combine done inside the UDF (A5 semantics)."""
+    Spark's map-side combine done inside the UDF (A5 semantics).
+
+    `nodata_col`: per-image sentinel column — sentinel pixels contribute
+    neither sum nor count (the reference's masked tile means,
+    local_match.py:344-352)."""
+    sel = ["image_id", "bytes", "fmt", "lon", "lat"] + ([nodata_col] if nodata_col else [])
 
     def run(batches):
         for pdf in batches:
             out_img, out_band, out_cell, out_sum, out_cnt = [], [], [], [], []
             for _, row in pdf.iterrows():
                 img = codec.decode(bytes(row["bytes"]), row["fmt"]).astype(np.float64)
+                nd = None
+                if nodata_col is not None:
+                    v = row[nodata_col]
+                    nd = float(v) if v is not None and not pd.isna(v) else None
                 h, w, nb = img.shape
                 pc = _pixel_cells(row["lon"], row["lat"], h, w, z).ravel()
                 uniq, inv = np.unique(pc, return_inverse=True)
                 for b in range(nb):
-                    sums = np.bincount(inv, weights=img[:, :, b].ravel(), minlength=len(uniq))
-                    cnts = np.bincount(inv, minlength=len(uniq))
+                    band = img[:, :, b].ravel()
+                    valid = (band != nd) if nd is not None else np.ones(band.shape, bool)
+                    sums = np.bincount(
+                        inv, weights=np.where(valid, band, 0.0), minlength=len(uniq)
+                    )
+                    cnts = np.bincount(inv, weights=valid.astype(np.float64), minlength=len(uniq))
                     out_img.extend([row["image_id"]] * len(uniq))
                     out_band.extend([b] * len(uniq))
                     out_cell.append(uniq)
@@ -88,9 +101,7 @@ def tile_stats(images: DataFrame, z: int = 12) -> DataFrame:
                 }
             )
 
-    return images.select("image_id", "bytes", "fmt", "lon", "lat").mapInPandas(
-        run, TILE_STATS_SCHEMA
-    )
+    return images.select(*sel).mapInPandas(run, TILE_STATS_SCHEMA)
 
 
 def reference_map(stats: DataFrame, min_cnt: int = 1) -> DataFrame:
@@ -134,36 +145,57 @@ def local_match(
     z: int = 12,
     alpha: float = 1.0,
     min_cnt: int = 1,
+    nodata_col: str | None = None,
 ) -> DataFrame:
     """Full pipeline; returns the adjusted image table (same schema).
 
     The ref map is collected and broadcast — it is M*N*bands rows
     (thousands), the same driver-scale artifact as the reference's
-    ``RefDistMap.tif`` (local_match.py:803-809)."""
+    ``RefDistMap.tif`` (local_match.py:803-809). It is broadcast SPARSE
+    (sorted cell ids + means, O(covered tiles)); each worker materializes
+    only the tiny dense window its own image overlaps (+1 bilinear halo).
+    A bbox-dense grid instead would be 4096x4096 float64 per band at z=12
+    for images on two sides of the globe — ~134 MB/band to every executor
+    for a handful of covered tiles."""
     spark = images.sparkSession
-    stats = tile_stats(images, z=z)
+    stats = tile_stats(images, z=z, nodata_col=nodata_col)
     ref = reference_map(stats, min_cnt=min_cnt).toPandas()
 
-    # dense per-band grids over the covered cell range for O(1) lookup
-    grids: dict[int, tuple] = {}
+    maps: dict[int, tuple] = {}
     for band, sub in ref.groupby("band"):
-        zz, gx, gy = cells_mod.unpack(sub["cell"].to_numpy(np.int64))
-        gx0, gx1 = int(gx.min()), int(gx.max())
-        gy0, gy1 = int(gy.min()), int(gy.max())
-        grid = np.full((gy1 - gy0 + 1, gx1 - gx0 + 1), np.nan)
-        grid[gy - gy0, gx - gx0] = sub["ref_mean"].to_numpy()
-        grids[int(band)] = (grid, gx0, gy0)
-    b_grids = spark.sparkContext.broadcast(grids)
+        cells_arr = sub["cell"].to_numpy(np.int64)
+        means_arr = sub["ref_mean"].to_numpy(np.float64)
+        order = np.argsort(cells_arr)
+        maps[int(band)] = (cells_arr[order], means_arr[order])
+    b_maps = spark.sparkContext.broadcast(maps)
 
     schema = images.schema
     n_grid = 1 << z
 
+    def window_grid(cells_sorted, means, gx0, gx1, gy0, gy1):
+        """Dense (gy, gx) window over [gy0..gy1]x[gx0..gx1] filled from the
+        sparse sorted cell map (searchsorted lookup; missing tiles = NaN)."""
+        gxs = np.arange(gx0, gx1 + 1, dtype=np.int64)
+        gys = np.arange(gy0, gy1 + 1, dtype=np.int64)
+        want = cells_mod.pack(
+            z, gxs[None, :].repeat(len(gys), 0), gys[:, None].repeat(len(gxs), 1)
+        ).ravel()
+        pos = np.clip(np.searchsorted(cells_sorted, want), 0, len(cells_sorted) - 1)
+        found = cells_sorted[pos] == want
+        grid = np.full(want.shape, np.nan)
+        grid[found] = means[pos[found]]
+        return grid.reshape(len(gys), len(gxs))
+
     def run(batches):
-        grids_l = b_grids.value
+        maps_l = b_maps.value
         for pdf in batches:
             out_bytes = []
             for _, row in pdf.iterrows():
                 img = codec.decode(bytes(row["bytes"]), row["fmt"]).astype(np.float64)
+                nd = None
+                if nodata_col is not None:
+                    v = row[nodata_col]
+                    nd = float(v) if v is not None and not pd.isna(v) else None
                 h, w, nb = img.shape
                 # fractional GLOBAL tile coords of each pixel center
                 xs = row["lon"] + (np.arange(w) + 0.5) * RES_DEG
@@ -173,20 +205,31 @@ def local_match(
                 fx = np.broadcast_to(fgx[None, :], (h, w))
                 fy = np.broadcast_to(fgy[:, None], (h, w))
                 out = img.copy()
+                # this image's covered tile window (+1 for the bilinear halo)
+                wx0 = int(np.clip(np.floor(fgx.min()), 0, n_grid - 1))
+                wx1 = int(np.clip(np.floor(fgx.max()) + 1, 0, n_grid - 1))
+                wy0 = int(np.clip(np.floor(fgy.min()), 0, n_grid - 1))
+                wy1 = int(np.clip(np.floor(fgy.max()) + 1, 0, n_grid - 1))
                 for b in range(nb):
-                    if b not in grids_l:
+                    if b not in maps_l:
                         continue
-                    grid, gx0, gy0 = grids_l[b]
-                    m_ref = _bilinear(grid, fy - gy0, fx - gx0)
+                    cells_sorted, means = maps_l[b]
+                    grid = window_grid(cells_sorted, means, wx0, wx1, wy0, wy1)
+                    m_ref = _bilinear(grid, fy - wy0, fx - wx0)
                     # local map: this image's own tile means on the fly
+                    # (nodata pixels contribute neither sum nor count)
                     pc = _pixel_cells(row["lon"], row["lat"], h, w, z).ravel()
                     uniq, inv = np.unique(pc, return_inverse=True)
-                    sums = np.bincount(inv, weights=img[:, :, b].ravel())
-                    cnts = np.bincount(inv)
+                    band_flat = img[:, :, b].ravel()
+                    vmask = (band_flat != nd) if nd is not None else np.ones(band_flat.shape, bool)
+                    sums = np.bincount(inv, weights=np.where(vmask, band_flat, 0.0))
+                    cnts = np.bincount(inv, weights=vmask.astype(np.float64))
                     zz2, lgx, lgy = cells_mod.unpack(uniq)
                     lgx0, lgy0 = int(lgx.min()), int(lgy.min())
                     lgrid = np.full((int(lgy.max()) - lgy0 + 1, int(lgx.max()) - lgx0 + 1), np.nan)
-                    lgrid[lgy - lgy0, lgx - lgx0] = sums / np.maximum(cnts, 1)
+                    lgrid[lgy - lgy0, lgx - lgx0] = np.where(
+                        cnts > 0, sums / np.maximum(cnts, 1.0), np.nan
+                    )
                     m_in = _bilinear(lgrid, fy - lgy0, fx - lgx0)
                     # gamma in normalized domain; guard zeros/NaNs
                     p = np.clip(img[:, :, b] / 255.0, 1e-6, 1.0)
@@ -196,7 +239,10 @@ def local_match(
                         gamma = np.log(mr) / np.log(mi)
                     gamma = np.where(np.isfinite(gamma), gamma, 1.0)
                     adj = alpha * np.power(p, gamma) * 255.0
-                    out[:, :, b] = np.where(np.isnan(m_ref) | np.isnan(m_in), img[:, :, b], adj)
+                    keep = np.isnan(m_ref) | np.isnan(m_in)
+                    if nd is not None:
+                        keep |= img[:, :, b] == nd  # sentinel pixels pass through
+                    out[:, :, b] = np.where(keep, img[:, :, b], adj)
                 out_bytes.append(
                     bytearray(codec.encode(np.clip(np.rint(out), 0, 255).astype(np.uint8), row["fmt"]))
                 )
@@ -205,3 +251,23 @@ def local_match(
             yield pdf[[f.name for f in schema.fields]]
 
     return images.mapInPandas(run, schema)
+
+
+def local_match_mosaic(
+    images: DataFrame,
+    z: int = 12,
+    alpha: float = 1.0,
+    min_cnt: int = 1,
+    nodata_col: str | None = None,
+    tile_px: int = 256,
+    order: str = "last",
+) -> DataFrame:
+    """The COMPLETE local-match pipeline: block-grid gamma match, then the
+    per-tile pixel composite — the mosaic step the reference runs last
+    (local_match.py:985 -> merge). Returns the composite tile table."""
+    from gis_scripts_spark.operators import mosaic as mosaic_mod
+
+    adjusted = local_match(images, z=z, alpha=alpha, min_cnt=min_cnt, nodata_col=nodata_col)
+    return mosaic_mod.mosaic_composite(
+        adjusted, tile_px=tile_px, order=order, nodata_col=nodata_col or "nodata"
+    )

