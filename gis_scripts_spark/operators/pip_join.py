@@ -150,7 +150,9 @@ def pip_join(
     salt: int | None = None,
     hot_cells: list[int] | None = None,
 ) -> DataFrame:
-    """Inner join: rows of `points_df` × matching `poly_id`.
+    """Inner join: rows of `points_df` × matching polygon; the polygon id
+    column is NORMALIZED to 'poly_id' in the output whatever the input
+    column was named.
 
     `broadcast_cover=True`: cover table is broadcast (AOI layers). False:
     shuffle-hash equi-join on cell, WKB carried through the join.

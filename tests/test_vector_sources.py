@@ -1,0 +1,125 @@
+"""Shapefile + GeoPackage scans: fixtures are built BY HAND from the
+public specs (ESRI Shapefile Technical Description / OGC GPKG), independent
+of the reader code, so the roundtrip is a real oracle."""
+
+import sqlite3
+import struct
+
+import numpy as np
+import pytest
+
+from gis_scripts_spark.geom import core as geom
+from gis_scripts_spark.geom import wkb as wkb_mod
+from gis_scripts_spark.operators import pip_join
+from gis_scripts_spark.sources import vector
+
+
+def _shp_polygon_record(rec_no: int, rings):
+    """One Polygon (type 5) record per the spec: big-endian record header,
+    little-endian content (type, bbox, NumParts, NumPoints, parts, points)."""
+    all_pts = np.vstack(rings)
+    parts = []
+    acc = 0
+    for r in rings:
+        parts.append(acc)
+        acc += len(r)
+    content = struct.pack("<i", 5)
+    content += struct.pack("<4d", all_pts[:, 0].min(), all_pts[:, 1].min(),
+                           all_pts[:, 0].max(), all_pts[:, 1].max())
+    content += struct.pack("<ii", len(rings), acc)
+    content += struct.pack("<" + "i" * len(parts), *parts)
+    for r in rings:
+        for x, y in r:
+            content += struct.pack("<dd", x, y)
+    header = struct.pack(">ii", rec_no, len(content) // 2)
+    return header + content
+
+
+def _shp_file(records: bytes) -> bytes:
+    total_words = (100 + len(records)) // 2
+    head = struct.pack(">i", 9994) + b"\0" * 20 + struct.pack(">i", total_words)
+    head += struct.pack("<ii", 1000, 5)  # version, shape type
+    head += struct.pack("<8d", 0, 0, 0, 0, 0, 0, 0, 0)  # bbox placeholder
+    return head + records
+
+
+def _square(x0, y0, s):
+    return np.array([[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]])
+
+
+def test_parse_shp_polygons(tmp_path):
+    recs = _shp_polygon_record(1, [_square(0, 0, 10)])
+    recs += _shp_polygon_record(2, [_square(20, 20, 5), _square(22, 22, 1)])
+    buf = _shp_file(recs)
+    out = vector.parse_shp(buf)
+    assert list(out["feature_id"]) == [1, 2]
+    polys = wkb_mod.from_wkb(bytes(out.iloc[0]["wkb"]))
+    # point-in-polygon through the engine's own geometry on the parsed WKB
+    inside = geom.points_in_multipolygon(np.array([5.0, 15.0]), np.array([5.0, 5.0]), polys)
+    assert inside.tolist() == [True, False]
+    polys2 = wkb_mod.from_wkb(bytes(out.iloc[1]["wkb"]))
+    assert len(polys2[0]) == 2  # both rings preserved
+
+
+def test_read_shapefiles_distributed(spark, tmp_path):
+    for i in range(3):
+        buf = _shp_file(_shp_polygon_record(1, [_square(i * 10, 0, 5)]))
+        (tmp_path / f"layer_{i}.shp").write_bytes(buf)
+    out = vector.read_shapefiles(spark, str(tmp_path / "*.shp")).toPandas()
+    assert len(out) == 3
+    assert set(out["shape_type"]) == {5}
+
+
+def _gpkg_blob(wkb: bytes) -> bytes:
+    # GP magic, version 0, flags: envelope code 0, little-endian (bit 0)
+    return b"GP" + bytes([0, 0b00000001]) + struct.pack("<i", 4326) + wkb
+
+
+def _make_gpkg(path, polys):
+    con = sqlite3.connect(path)
+    con.execute("CREATE TABLE gpkg_contents (table_name TEXT, data_type TEXT)")
+    con.execute("INSERT INTO gpkg_contents VALUES ('aoi', 'features')")
+    con.execute(
+        "CREATE TABLE gpkg_geometry_columns (table_name TEXT, column_name TEXT)"
+    )
+    con.execute("INSERT INTO gpkg_geometry_columns VALUES ('aoi', 'geom')")
+    con.execute("CREATE TABLE aoi (fid INTEGER PRIMARY KEY, geom BLOB)")
+    for fid, wkb in polys:
+        con.execute("INSERT INTO aoi VALUES (?, ?)", (fid, _gpkg_blob(wkb)))
+    con.commit()
+    con.close()
+
+
+def test_read_geopackage_and_pip_join(spark, tmp_path):
+    gpkg = str(tmp_path / "aoi.gpkg")
+    _make_gpkg(
+        gpkg,
+        [
+            (1, wkb_mod.bbox_to_wkb(0.0, 0.0, 10.0, 10.0)),
+            (2, wkb_mod.bbox_to_wkb(20.0, 20.0, 30.0, 30.0)),
+        ],
+    )
+    polys = vector.read_geopackage(spark, gpkg, id_col="fid")
+    pdf = polys.toPandas()
+    assert list(pdf["feature_id"]) == [1, 2]
+    # end-to-end: the scanned layer drives the flagship PIP join
+    import pandas as pd
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": [1, 2, 3], "lon": [5.0, 25.0, 50.0], "lat": [5.0, 25.0, 50.0]})
+    )
+    # pip_join normalizes the polygon id column to 'poly_id' in its output
+    pairs = pip_join.pip_join(
+        pts, polys, z=6, poly_id="feature_id"
+    ).select("pid", "poly_id").toPandas()
+    got = set(map(tuple, pairs.itertuples(index=False)))
+    assert got == {(1, 1), (2, 2)}
+
+
+def test_gpkg_envelope_codes():
+    wkb = wkb_mod.bbox_to_wkb(0, 0, 1, 1)
+    # envelope code 1 (xy, 32 bytes)
+    blob = b"GP" + bytes([0, 0b00000011]) + struct.pack("<i", 4326) + b"\0" * 32 + wkb
+    assert vector.gpkg_strip_header(blob) == wkb
+    with pytest.raises(ValueError):
+        vector.gpkg_strip_header(b"XX" + b"\0" * 40)
