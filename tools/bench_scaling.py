@@ -380,7 +380,10 @@ BENCH/scaling.json history.)
 Regenerate: `python tools/bench_scaling.py` (raw numbers of the last run in
 BENCH/scaling.json).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # BENCH/BASELINE.md is the hand-curated evidence document (multi-JVM
+    # numbers + machine-ceiling probes); the autogenerated local-mode view
+    # goes to its own file so reruns never clobber the curated analysis
+    with open(os.path.join(REPO, "BENCH", "BASELINE_local_autogen.md"), "w") as f:
         f.write(md)
 
 
