@@ -35,6 +35,7 @@ TAG_SAMPLES_PER_PIXEL = 277
 TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_COUNTS = 279
 TAG_PLANAR = 284
+TAG_PREDICTOR = 317
 TAG_SAMPLE_FORMAT = 339
 TAG_TILE_WIDTH = 322
 TAG_TILE_LENGTH = 323
@@ -96,7 +97,22 @@ def tiff_decode(buf: bytes) -> tuple[np.ndarray, dict]:
         raise ValueError("only chunky planar config supported")
     if comp not in (1, 8, 32946):
         raise NotImplementedError(f"TIFF compression {comp} not supported (none/deflate only)")
+    predictor = int(t.get(TAG_PREDICTOR, [1])[0])
+    if predictor not in (1, 2):
+        # 3 = floating-point byte-shuffle differencing; fail loudly instead
+        # of silently decoding garbage (GDAL writes PREDICTOR=2/3 DEFLATE)
+        raise NotImplementedError(f"TIFF predictor {predictor} not supported (none/horizontal only)")
     dt = _dtype_of(bits, fmt, bo)
+
+    def undo_predictor(arr: np.ndarray) -> np.ndarray:
+        """Undo horizontal differencing (predictor 2, TIFF 6.0 §14): each
+        row stores per-sample deltas vs the previous column; the inverse is
+        a modular cumsum along the width axis. Rows restart at each
+        strip/tile's left edge, which both callers respect."""
+        if predictor != 2:
+            return arr
+        acc = np.cumsum(arr.astype(np.int64), axis=1)
+        return acc.astype(arr.dtype)  # wraps mod 2^bits, matching the delta encode
 
     def blocks(offsets, counts):
         for o, c in zip(offsets, counts):
@@ -111,9 +127,10 @@ def tiff_decode(buf: bytes) -> tuple[np.ndarray, dict]:
         for idx, data in enumerate(blocks(t[TAG_TILE_OFFSETS], t[TAG_TILE_COUNTS])):
             ty, tx = divmod(idx, tiles_x)
             arr = np.frombuffer(data, dt, count=tw * th * spp).reshape(th, tw, spp)
+            arr = undo_predictor(arr.astype(dt.newbyteorder("=")))
             y0, x0 = ty * th, tx * tw
             hh, ww = min(th, h - y0), min(tw, w - x0)
-            out[y0 : y0 + hh, x0 : x0 + ww] = arr[:hh, :ww].astype(dt.newbyteorder("="))
+            out[y0 : y0 + hh, x0 : x0 + ww] = arr[:hh, :ww]
         return out, _geo_meta(t)
     rps = int(t.get(TAG_ROWS_PER_STRIP, [h])[0])
     parts = []
@@ -121,7 +138,10 @@ def tiff_decode(buf: bytes) -> tuple[np.ndarray, dict]:
         parts.append(np.frombuffer(data, dt))
     flat = np.concatenate(parts)[: h * w * spp]
     _ = rps
-    return flat.reshape(h, w, spp).astype(dt.newbyteorder("=")), _geo_meta(t)
+    img = flat.reshape(h, w, spp).astype(dt.newbyteorder("="))
+    # strips are full-width rows, so per-row differencing never crosses a
+    # strip boundary — the whole-image cumsum is exact
+    return undo_predictor(img), _geo_meta(t)
 
 
 def _geo_meta(t: dict) -> dict:
@@ -144,9 +164,12 @@ def tiff_encode(
     pixel_scale: tuple | None = None,
     tiepoint: tuple | None = None,
     nodata: float | None = None,
+    predictor: int = 1,
 ) -> bytes:
     """(h, w[, bands]) uint8/16/32, int8/16/32, float32/64 -> little-endian
-    classic TIFF (chunky, one strip per 64 rows, optional DEFLATE)."""
+    classic TIFF (chunky, one strip per 64 rows, optional DEFLATE).
+    predictor=2 writes horizontal differencing (integer dtypes only), the
+    layout GDAL commonly emits with DEFLATE."""
     img = np.asarray(img)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -154,8 +177,16 @@ def tiff_encode(
     dt = img.dtype
     if dt.kind not in "uif":
         raise ValueError(f"unsupported dtype {dt}")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
+    if predictor == 2 and dt.kind == "f":
+        raise ValueError("predictor 2 applies to integer samples only")
     fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
     bits = dt.itemsize * 8
+    if predictor == 2:
+        d = img.astype(np.int64)
+        d[:, 1:] -= img[:, :-1].astype(np.int64)
+        img = d.astype(dt)  # wraps mod 2^bits; decode cumsum inverts exactly
     le = img.astype(dt.newbyteorder("<"))
 
     rps = min(64, h)
@@ -175,6 +206,8 @@ def tiff_encode(
         (TAG_PLANAR, 3, 1, 1),
         (TAG_SAMPLE_FORMAT, 3, spp, [fmt] * spp),
     ]
+    if predictor == 2:
+        entries.append((TAG_PREDICTOR, 3, 1, 2))
     if pixel_scale is not None:
         entries.append((TAG_MODEL_PIXEL_SCALE, 12, 3, list(pixel_scale)[:3]))
     if tiepoint is not None:

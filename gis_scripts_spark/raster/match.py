@@ -127,7 +127,10 @@ def overlap_pair_stats(images: DataFrame, z: int = 10, nodata_col: str | None = 
             rows = []
             for _, row in pdf.iterrows():
                 img = codec.decode(bytes(row["bytes"]), row["fmt"]).astype(np.float64)
-                nodata = float(row[nodata_col]) if nodata_col else None
+                nodata = None
+                if nodata_col is not None:
+                    v = row[nodata_col]
+                    nodata = float(v) if v is not None and not pd.isna(v) else None
                 for wrec in row["_wins"]:
                     win = _window(img, row["lon"], row["lat"], int(row["h"]),
                                   wrec["ix_min"], wrec["iy_min"], wrec["ix_max"], wrec["iy_max"])

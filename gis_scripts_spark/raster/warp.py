@@ -89,8 +89,21 @@ def _warp_one(img: np.ndarray, lon: float, lat: float, crs: str, res_m: float,
         v01 = img[ri, ci + 1, :].astype(np.float64)
         v10 = img[ri + 1, ci, :].astype(np.float64)
         v11 = img[ri + 1, ci + 1, :].astype(np.float64)
-        out[ok] = (v00 * (1 - wri) * (1 - wci) + v01 * (1 - wri) * wci
-                   + v10 * wri * (1 - wci) + v11 * wri * wci)
+        if nodata is None:
+            out[ok] = (v00 * (1 - wri) * (1 - wci) + v01 * (1 - wri) * wci
+                       + v10 * wri * (1 - wci) + v11 * wri * wci)
+        else:
+            # gdalwarp -srcnodata semantics: sentinel corners carry zero
+            # weight (renormalized over valid corners); all-invalid -> fill
+            v = np.stack([v00, v01, v10, v11])  # (4, npix, bands)
+            wt = np.stack([(1 - wri) * (1 - wci), (1 - wri) * wci,
+                           wri * (1 - wci), wri * wci])  # (4, npix, 1)
+            wt = np.broadcast_to(wt, v.shape).copy()
+            wt[v == nodata] = 0.0
+            tot = wt.sum(axis=0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                blend = np.where(tot > 0, (v * wt).sum(axis=0) / np.where(tot > 0, tot, 1.0), fill)
+            out[ok] = blend
     warped = out.reshape(oh, ow, img.shape[2])
     if np.issubdtype(img.dtype, np.integer):
         info = np.iinfo(img.dtype)
