@@ -105,22 +105,28 @@ def mosaic_composite(
         pdf = pdf.sort_values(["_ord", "image_id"], kind="mergesort")
         if order == "last":
             pdf = pdf.iloc[::-1]  # highest priority first; first writer wins
-        canvas = None
-        written = None
+        srcs = [(row, codec.decode(bytes(row["bytes"]), row["fmt"]))
+                for _, row in pdf.iterrows()]
+        if not srcs:
+            return pd.DataFrame({f.name: [] for f in COMPOSITE_SCHEMA.fields})
+        # canvas dtype: promoted over ALL sources in the group
+        # (np.result_type) — a later int16 source into a uint8 canvas would
+        # otherwise silently truncate (the reference treats mixed band
+        # dtypes as an error: temp/resample_and_merge_rasters.ipynb warning)
+        # — widened further only when the fill sentinel doesn't fit
+        dt = np.result_type(*[im.dtype for _, im in srcs])
+        fv = float(fill_value)
+        if np.issubdtype(dt, np.integer):
+            if not (fv.is_integer() and np.iinfo(dt).min <= fv <= np.iinfo(dt).max):
+                dt = np.result_type(dt, np.int32 if fv.is_integer() else np.float32)
+        nbands = srcs[0][1].shape[2]  # band count: first-priority source
+        canvas = np.full((tile_px, tile_px, nbands), fill_value, dtype=dt)
+        # PER-BAND written mask: a pixel that is nodata in band 0 but valid
+        # in band 1 paints only band 1 (per-band nodata rule, like
+        # gdal_merge/rasterio handle masks band-wise)
+        written = np.zeros((tile_px, tile_px, nbands), bool)
         n_src = 0
-        for _, row in pdf.iterrows():
-            img = codec.decode(bytes(row["bytes"]), row["fmt"])
-            if canvas is None:
-                # canvas dtype: first-priority source's dtype (reference
-                # keeps the first file's metadata), widened only when the
-                # fill sentinel doesn't fit (e.g. -9999 on uint8)
-                fv = float(fill_value)
-                dt = np.dtype(img.dtype)
-                if np.issubdtype(dt, np.integer):
-                    if not (fv.is_integer() and np.iinfo(dt).min <= fv <= np.iinfo(dt).max):
-                        dt = np.result_type(dt, np.int32 if fv.is_integer() else np.float32)
-                canvas = np.full((tile_px, tile_px, img.shape[2]), fill_value, dtype=dt)
-                written = np.zeros((tile_px, tile_px), bool)
+        for row, img in srcs:
             # image window inside this tile
             ix0 = max(int(row["_px0"]), ox)
             ix1 = min(int(row["_px0"]) + int(row["w"]), ox + tile_px)
@@ -133,17 +139,17 @@ def mosaic_composite(
                       ix0 - int(row["_px0"]): ix1 - int(row["_px0"])]
             dst_r = slice(iy0 - oy, iy1 - oy)
             dst_c = slice(ix0 - ox, ix1 - ox)
+            nb = min(src.shape[2], nbands)
             nd = row["_nd"]
             if nd is not None and not pd.isna(nd):
-                valid = ~np.all(src == np.asarray(nd, src.dtype), axis=2)
+                valid = src[:, :, :nb] != np.asarray(nd, src.dtype)
             else:
-                valid = np.ones(src.shape[:2], bool)
-            free = valid & ~written[dst_r, dst_c]
-            nb = min(src.shape[2], canvas.shape[2])
+                valid = np.ones((src.shape[0], src.shape[1], nb), bool)
+            free = valid & ~written[dst_r, dst_c, :nb]
             region = canvas[dst_r, dst_c]  # view — writes through
-            region[free, :nb] = src[free][:, :nb]
-            written[dst_r, dst_c] |= free
-        if canvas is None or not written.any():
+            region[..., :nb][free] = src[:, :, :nb][free].astype(dt, copy=False)
+            written[dst_r, dst_c, :nb] |= free
+        if not written.any():
             return pd.DataFrame({f.name: [] for f in COMPOSITE_SCHEMA.fields})
         return pd.DataFrame(
             [
@@ -156,7 +162,7 @@ def mosaic_composite(
                     "bands": canvas.shape[2],
                     "fmt": out_fmt,
                     "n_sources": n_src,
-                    "n_valid_px": int(written.sum()),
+                    "n_valid_px": int(written.any(axis=2).sum()),
                 }
             ]
         )

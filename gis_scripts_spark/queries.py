@@ -835,30 +835,33 @@ def q_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_seamless_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE reference flagship end-to-end (rows-only): overlapping
-    shifted scenes -> global histogram match (solve + apply gains) ->
-    per-tile last-wins pixel composite (the gdal.Warp merge step,
-    global_match.py:302-312). Emits tile ids + source counts + byte md5."""
+    shifted INT16 scenes with -9999 holes -> global histogram match (solve
+    + nodata-masked, dtype-preserving gain apply) -> per-tile last-wins
+    pixel composite (the gdal.Warp merge step, global_match.py:302-312;
+    GDT_Int16 output parity, global_match.py:212). Emits tile ids + source
+    counts + byte md5."""
     from gis_scripts_spark.raster import codec as codec_mod
     from gis_scripts_spark.raster import match as match_mod
     from gis_scripts_spark.sources import synth as synth_mod
 
     rng = np.random.default_rng(42)
-    scene = rng.integers(40, 200, (64, 160, 1)).astype(np.uint8)
+    scene = rng.integers(200, 2800, (64, 160, 1)).astype(np.int16)
     res = match_mod.RES_DEG
     rows = []
-    for k, (c0, shift) in enumerate([(0, 0), (48, 15), (96, -10)]):
-        tile = scene[:, c0 : c0 + 64]
-        tile = np.clip(tile.astype(np.int32) + shift, 0, 255).astype(np.uint8)
+    for k, (c0, shift) in enumerate([(0, 0), (48, 150), (96, -100)]):
+        tile = (scene[:, c0 : c0 + 64].astype(np.int32) + shift).astype(np.int16)
+        tile[4 + k : 10 + k, 4 : 10] = -9999  # planted nodata holes
         rows.append(
             {
-                "image_id": f"sm_{k}", "bytes": bytearray(codec_mod.png_encode(tile)),
-                "w": 64, "h": 64, "fmt": "png", "caption": f"seam {k}",
-                "phash": codec_mod.phash64(tile), "lon": c0 * res, "lat": 0.0,
+                "image_id": f"sm_{k}", "bytes": bytearray(codec_mod.raw_encode(tile)),
+                "w": 64, "h": 64, "fmt": "raw", "caption": f"seam {k}",
+                "phash": 0, "lon": c0 * res, "lat": 0.0,
                 "nodata": -9999.0, "bands": 1,
             }
         )
     df = spark.createDataFrame(pd.DataFrame(rows), schema=synth_mod.IMAGE_SCHEMA)
-    tiles, _params = match_mod.global_match_mosaic(df, z=13, tile_px=64, order="last")
+    tiles, _params = match_mod.global_match_mosaic(
+        df, z=13, tile_px=64, order="last", nodata_col="nodata")
     return tiles.select(
         "tile_x", "tile_y", "n_sources", "n_valid_px", F.md5("bytes").alias("tile_md5")
     )

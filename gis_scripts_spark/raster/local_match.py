@@ -36,6 +36,7 @@ from pyspark.sql.types import (
 
 from gis_scripts_spark.index import cells as cells_mod
 from gis_scripts_spark.raster import codec
+from gis_scripts_spark.raster import ops as ops_mod
 from gis_scripts_spark.raster.match import RES_DEG
 
 TILE_STATS_SCHEMA = StructType(
@@ -146,6 +147,7 @@ def local_match(
     alpha: float = 1.0,
     min_cnt: int = 1,
     nodata_col: str | None = None,
+    scale: float | None = None,
 ) -> DataFrame:
     """Full pipeline; returns the adjusted image table (same schema).
 
@@ -191,7 +193,13 @@ def local_match(
         for pdf in batches:
             out_bytes = []
             for _, row in pdf.iterrows():
-                img = codec.decode(bytes(row["bytes"]), row["fmt"]).astype(np.float64)
+                raw = codec.decode(bytes(row["bytes"]), row["fmt"])
+                src_dtype = raw.dtype
+                # gamma domain: dtype positive max for ints (255 on uint8 —
+                # the reference's domain, local_match.py:544-573), 1.0 for
+                # floats, `scale` overrides (ops.gamma_scale rule)
+                s = ops_mod.gamma_scale(src_dtype, scale)
+                img = raw.astype(np.float64)
                 nd = None
                 if nodata_col is not None:
                     v = row[nodata_col]
@@ -231,20 +239,20 @@ def local_match(
                         cnts > 0, sums / np.maximum(cnts, 1.0), np.nan
                     )
                     m_in = _bilinear(lgrid, fy - lgy0, fx - lgx0)
-                    # gamma in normalized domain; guard zeros/NaNs
-                    p = np.clip(img[:, :, b] / 255.0, 1e-6, 1.0)
-                    mr = np.clip(m_ref / 255.0, 1e-6, 1.0)
-                    mi = np.clip(m_in / 255.0, 1e-6, 1.0)
+                    # gamma in the normalized [0,1] domain; guard zeros/NaNs
+                    p = np.clip(img[:, :, b] / s, 1e-6, 1.0)
+                    mr = np.clip(m_ref / s, 1e-6, 1.0)
+                    mi = np.clip(m_in / s, 1e-6, 1.0)
                     with np.errstate(invalid="ignore", divide="ignore"):
                         gamma = np.log(mr) / np.log(mi)
                     gamma = np.where(np.isfinite(gamma), gamma, 1.0)
-                    adj = alpha * np.power(p, gamma) * 255.0
+                    adj = alpha * np.power(p, gamma) * s
                     keep = np.isnan(m_ref) | np.isnan(m_in)
                     if nd is not None:
                         keep |= img[:, :, b] == nd  # sentinel pixels pass through
                     out[:, :, b] = np.where(keep, img[:, :, b], adj)
                 out_bytes.append(
-                    bytearray(codec.encode(np.clip(np.rint(out), 0, 255).astype(np.uint8), row["fmt"]))
+                    bytearray(codec.encode(ops_mod.restore_dtype(out, src_dtype), row["fmt"]))
                 )
             pdf = pdf.copy()
             pdf["bytes"] = out_bytes
@@ -261,13 +269,15 @@ def local_match_mosaic(
     nodata_col: str | None = None,
     tile_px: int = 256,
     order: str = "last",
+    scale: float | None = None,
 ) -> DataFrame:
     """The COMPLETE local-match pipeline: block-grid gamma match, then the
     per-tile pixel composite — the mosaic step the reference runs last
     (local_match.py:985 -> merge). Returns the composite tile table."""
     from gis_scripts_spark.operators import mosaic as mosaic_mod
 
-    adjusted = local_match(images, z=z, alpha=alpha, min_cnt=min_cnt, nodata_col=nodata_col)
+    adjusted = local_match(images, z=z, alpha=alpha, min_cnt=min_cnt,
+                           nodata_col=nodata_col, scale=scale)
     return mosaic_mod.mosaic_composite(
         adjusted, tile_px=tile_px, order=order, nodata_col=nodata_col or "nodata"
     )

@@ -345,7 +345,7 @@ def global_match(images: DataFrame, z: int = 10,
         pd.DataFrame({"image_id": pd.Series(dtype=str), "band": pd.Series(dtype=np.int32),
                       "a": pd.Series(dtype=float), "b": pd.Series(dtype=float)})
     )
-    return ops.apply_linear(images, params_df), params
+    return ops.apply_linear(images, params_df, nodata_col=nodata_col), params
 
 
 def global_match_mosaic(

@@ -93,10 +93,42 @@ def add_scalar(df: DataFrame, value: float, nodata: int | None = None) -> DataFr
     return _transform_bytes(df, k)
 
 
-def apply_linear(df: DataFrame, params: DataFrame) -> DataFrame:
+def nodata_of(row, nodata_col: str | None) -> float | None:
+    """Per-row nodata sentinel with the engine-wide null guard."""
+    if nodata_col is None:
+        return None
+    v = row[nodata_col]
+    return float(v) if v is not None and not pd.isna(v) else None
+
+
+def restore_dtype(out: np.ndarray, src_dtype: np.dtype) -> np.ndarray:
+    """Float kernel result -> source dtype: integers round and clip to the
+    dtype's own range (the reference writes GDT_Int16 / float32 outputs,
+    global_match.py:212, local_match.py:854 — NOT everything-to-uint8);
+    floats cast losslessly."""
+    if np.issubdtype(src_dtype, np.integer):
+        info = np.iinfo(src_dtype)
+        return np.clip(np.rint(out), info.min, info.max).astype(src_dtype)
+    return out.astype(src_dtype)
+
+
+def gamma_scale(src_dtype: np.dtype, scale: float | None) -> float:
+    """Normalization domain for gamma-style kernels: the dtype's positive
+    max for integers (255 for uint8 — the reference's domain), 1.0 for
+    floats (values assumed normalized; pass `scale` to override)."""
+    if scale is not None:
+        return float(scale)
+    if np.issubdtype(src_dtype, np.integer):
+        return float(np.iinfo(src_dtype).max)
+    return 1.0
+
+
+def apply_linear(df: DataFrame, params: DataFrame, nodata_col: str | None = None) -> DataFrame:
     """Per-image per-band gain/offset: np.where(valid, a*px+b, px)
-    (global_match.py:524-528). `params`: (image_id, band, a, b) — joined in
-    (broadcast: the param table is tiny, 2 doubles per image-band)."""
+    (global_match.py:524-528 — the reference masks nodata on apply).
+    `params`: (image_id, band, a, b) — broadcast-joined (tiny, 2 doubles per
+    image-band). Output keeps the SOURCE dtype (int16 stays int16, float32
+    stays float32) and nodata sentinels pass through untouched."""
     p = (
         params.groupBy("image_id")
         .agg(
@@ -113,12 +145,21 @@ def apply_linear(df: DataFrame, params: DataFrame) -> DataFrame:
                 img = codec.decode(bytes(row["bytes"]), row["fmt"])
                 ab = row["_ab"]
                 if ab is not None:
-                    img = img.astype(np.float64)
+                    nd = nodata_of(row, nodata_col)
+                    src = img
+                    out = img.astype(np.float64)
                     for entry in ab:
                         b_idx = int(entry["band"])
-                        if b_idx < img.shape[2]:
-                            img[:, :, b_idx] = entry["a"] * img[:, :, b_idx] + entry["b"]
-                    img = np.clip(np.rint(img), 0, 255).astype(np.uint8)
+                        if b_idx < out.shape[2]:
+                            band = out[:, :, b_idx]
+                            adj = entry["a"] * band + entry["b"]
+                            if nd is not None:
+                                adj = np.where(band == nd, band, adj)
+                            out[:, :, b_idx] = adj
+                    img = restore_dtype(out, src.dtype)
+                    if nd is not None:
+                        # integer clip must never eat the sentinel itself
+                        img = np.where(src == np.asarray(nd, src.dtype), src, img)
                 out_bytes.append(bytearray(codec.encode(img, row["fmt"])))
             pdf = pdf.copy()
             pdf["bytes"] = out_bytes
@@ -127,9 +168,17 @@ def apply_linear(df: DataFrame, params: DataFrame) -> DataFrame:
     return joined.mapInPandas(run, schema)
 
 
-def apply_gamma(df: DataFrame, gamma_by_image: DataFrame, alpha: float = 1.0) -> DataFrame:
-    """P_out = alpha * P_in^gamma, gamma joined per image
-    (local_match.py:544-573; gamma = log(M_ref)/log(M_in) computed upstream)."""
+def apply_gamma(
+    df: DataFrame,
+    gamma_by_image: DataFrame,
+    alpha: float = 1.0,
+    nodata_col: str | None = None,
+    scale: float | None = None,
+) -> DataFrame:
+    """P_out = alpha * (P_in/S)^gamma * S, gamma joined per image
+    (local_match.py:544-573; gamma = log(M_ref)/log(M_in) computed
+    upstream). S = `scale` or the dtype default (gamma_scale). Source dtype
+    preserved; nodata sentinels pass through."""
     joined = df.join(F.broadcast(gamma_by_image.select("image_id", "gamma")), "image_id", "left")
     schema = df.schema
 
@@ -140,8 +189,14 @@ def apply_gamma(df: DataFrame, gamma_by_image: DataFrame, alpha: float = 1.0) ->
                 img = codec.decode(bytes(row["bytes"]), row["fmt"])
                 g = row["gamma"]
                 if g is not None and not pd.isna(g):
-                    scaled = alpha * np.power(img.astype(np.float64) / 255.0, float(g)) * 255.0
-                    img = np.clip(np.rint(scaled), 0, 255).astype(np.uint8)
+                    nd = nodata_of(row, nodata_col)
+                    s = gamma_scale(img.dtype, scale)
+                    f = img.astype(np.float64)
+                    with np.errstate(invalid="ignore"):
+                        scaled = alpha * np.power(np.maximum(f, 0.0) / s, float(g)) * s
+                    if nd is not None:
+                        scaled = np.where(f == nd, f, scaled)
+                    img = restore_dtype(scaled, img.dtype)
                 out_bytes.append(bytearray(codec.encode(img, row["fmt"])))
             pdf = pdf.copy()
             pdf["bytes"] = out_bytes

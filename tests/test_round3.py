@@ -97,3 +97,147 @@ def test_pair_stats_null_nodata_guard(spark):
     out = match.overlap_pair_stats(df, z=13, nodata_col="nodata").toPandas()
     assert len(out) == 1
     assert out.loc[0, "size"] == 32 * 64
+
+
+# ------------------- typed radiometric apply path (int16/-9999, float32)
+def _typed_image(image_id, px, lon, lat, nodata=-9999.0):
+    from gis_scripts_spark.raster import codec as c
+
+    return {
+        "image_id": image_id, "bytes": bytearray(c.raw_encode(px)),
+        "w": px.shape[1], "h": px.shape[0], "fmt": "raw", "caption": "",
+        "phash": 0, "lon": lon, "lat": lat, "nodata": nodata,
+        "bands": px.shape[2],
+    }
+
+
+@pytest.mark.parametrize("dtype", [np.int16, np.float32])
+def test_global_match_typed_end_to_end(spark, dtype):
+    """global_match on int16/float32 with -9999 holes: adjusted pixels must
+    equal the reference formula np.where(valid, a*px+b, px) in the SOURCE
+    dtype (global_match.py:524-528, GDT_Int16 output global_match.py:212)."""
+    from gis_scripts_spark.raster import codec as codec_mod
+    from gis_scripts_spark.raster import match, ops
+
+    rng = np.random.default_rng(21)
+    scene = rng.uniform(100, 2000, (64, 160, 1)).astype(dtype)
+    rows, srcs = [], {}
+    for k, (c0, gain, off) in enumerate([(0, 1.0, 0.0), (48, 1.1, 60.0), (96, 0.9, -40.0)]):
+        tile = (scene[:, c0 : c0 + 64].astype(np.float64) * gain + off).astype(dtype)
+        tile[5:12, 5:12] = dtype(-9999)  # planted holes
+        srcs[f"t{k}"] = tile
+        rows.append(_typed_image(f"t{k}", tile, c0 * RES_DEG, 0.0))
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=synth.IMAGE_SCHEMA)
+    adjusted, params = match.global_match(df, z=13, nodata_col="nodata")
+    got = {r["image_id"]: codec_mod.decode(bytes(r["bytes"]), r["fmt"])
+           for r in adjusted.collect()}
+    for img_id, src in srcs.items():
+        p = params[(params["image_id"] == img_id) & (params["band"] == 0)].iloc[0]
+        adj = p["a"] * src.astype(np.float64) + p["b"]
+        adj = np.where(src.astype(np.float64) == -9999.0, src, adj)
+        want = ops.restore_dtype(adj, np.dtype(dtype))
+        want = np.where(src == dtype(-9999), src, want)
+        out = got[img_id]
+        assert out.dtype == np.dtype(dtype), (img_id, out.dtype)
+        assert np.array_equal(out, want), img_id
+        # sentinels bit-exact
+        assert (out[5:12, 5:12] == dtype(-9999)).all()
+    # the matching actually closed the seams: pair means agree post-adjust
+    ps = match.overlap_pair_stats(adjusted, z=13, nodata_col="nodata").toPandas()
+    assert (ps["mean_i"] - ps["mean_j"]).abs().max() < (
+        match.overlap_pair_stats(df, z=13, nodata_col="nodata").toPandas()["mean_i"]
+        - match.overlap_pair_stats(df, z=13, nodata_col="nodata").toPandas()["mean_j"]
+    ).abs().max() * 0.3
+
+
+@pytest.mark.parametrize("dtype", [np.int16, np.float32])
+def test_local_match_single_image_identity_typed(spark, dtype):
+    """One image alone IS the reference map -> gamma == 1 -> local_match
+    must return the pixels bit-identically in the source dtype (the old
+    kernel uint8-crushed them)."""
+    from gis_scripts_spark.raster import codec as codec_mod, local_match
+
+    rng = np.random.default_rng(8)
+    px = rng.uniform(50, 3000, (32, 32, 1)).astype(dtype)
+    px[2:6, 2:6] = dtype(-9999)
+    df = spark.createDataFrame(pd.DataFrame([_typed_image("solo", px, 0.0, 0.0)]),
+                               schema=synth.IMAGE_SCHEMA)
+    # float data is not in a normalized [0,1] domain -> pass the domain max
+    scale = 4000.0 if np.dtype(dtype).kind == "f" else None
+    out = local_match.local_match(df, z=15, nodata_col="nodata", scale=scale).toPandas()
+    got = codec_mod.decode(bytes(out.loc[0, "bytes"]), out.loc[0, "fmt"])
+    assert got.dtype == np.dtype(dtype)
+    assert np.array_equal(got, px)
+
+
+def test_local_match_int16_reduces_spread_keeps_sentinels(spark):
+    from gis_scripts_spark.raster import codec as codec_mod, local_match
+
+    rng = np.random.default_rng(13)
+    scene = rng.uniform(400, 1800, (64, 64, 1)).astype(np.int16)
+    bright = (scene.astype(np.float64) * 1.25 + 100).astype(np.int16)
+    scene[10:14, 10:14] = -9999
+    bright[10:14, 10:14] = -9999
+    rows = [_typed_image("a", scene, 0.0, 0.0), _typed_image("b", bright, 0.0, 0.0)]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=synth.IMAGE_SCHEMA)
+    z = 15
+
+    def spread(frame):
+        st = local_match.tile_stats(frame, z=z, nodata_col="nodata").toPandas()
+        st["mean"] = st["sum"] / st["cnt"]
+        piv = st.pivot_table(index="cell", columns="image_id", values="mean").dropna()
+        return float((piv["a"] - piv["b"]).abs().mean())
+
+    adjusted = local_match.local_match(df, z=z, nodata_col="nodata")
+    before, after = spread(df), spread(adjusted)
+    assert after < before * 0.3, f"{before} -> {after}"
+    for r in adjusted.collect():
+        img = codec_mod.decode(bytes(r["bytes"]), r["fmt"])
+        assert img.dtype == np.int16
+        assert (img[10:14, 10:14] == -9999).all()
+        assert img.max() > 255  # the uint8 crush is gone
+
+
+# -------------------------- mosaic: dtype promotion + per-band validity
+def test_mosaic_mixed_dtype_promotes(spark):
+    """uint8 + int16 sources in one tile: canvas promotes (np.result_type),
+    no silent truncation of the int16 values."""
+    from gis_scripts_spark.operators import mosaic as mosaic_mod
+    from gis_scripts_spark.raster import codec as codec_mod
+
+    a = np.full((16, 16, 1), 200, np.uint8)
+    b = np.full((16, 16, 1), 1500, np.int16)
+    rows = [
+        _typed_image("a", a, 0.0, 0.0, nodata=-1.0),
+        _typed_image("b", b, 16 * RES_DEG, 0.0, nodata=-1.0),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=synth.IMAGE_SCHEMA)
+    out = mosaic_mod.mosaic_composite(df, tile_px=32, order="last",
+                                      nodata_col="nodata", fill_value=0.0).toPandas()
+    assert len(out) == 1
+    img = codec_mod.raw_decode(bytes(out.loc[0, "bytes"]))
+    assert img.dtype == np.int16
+    assert (img[:16, :16, 0] == 200).all()
+    assert (img[:16, 16:, 0] == 1500).all()
+
+
+def test_mosaic_multiband_per_band_validity(spark):
+    """A pixel nodata in band 0 but valid in band 1 paints ONLY band 1;
+    a lower-priority source fills band 0 (per-band mask rule)."""
+    from gis_scripts_spark.operators import mosaic as mosaic_mod
+    from gis_scripts_spark.raster import codec as codec_mod
+
+    nd = -9999.0
+    hi = np.full((8, 8, 2), 500, np.int16)   # higher priority (last-wins)
+    hi[:, :, 0] = -9999                       # band 0 all-nodata, band 1 valid
+    lo = np.full((8, 8, 2), 111, np.int16)    # lower priority, fully valid
+    rows = [
+        _typed_image("a_lo", lo, 0.0, 0.0, nodata=nd),
+        _typed_image("b_hi", hi, 0.0, 0.0, nodata=nd),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=synth.IMAGE_SCHEMA)
+    out = mosaic_mod.mosaic_composite(df, tile_px=8, order="last",
+                                      nodata_col="nodata", fill_value=nd).toPandas()
+    img = codec_mod.raw_decode(bytes(out.loc[0, "bytes"]))
+    assert (img[:, :, 0] == 111).all()   # band 0 shows through to lo
+    assert (img[:, :, 1] == 500).all()   # band 1 from hi
