@@ -62,14 +62,26 @@ def coverage_join(
     wkb_col: str = "wkb",
     rect_id: str = "aoi_id",
     min_coverage: float = 0.0,
+    broadcast_candidates: bool = True,
 ) -> DataFrame:
     """(fp_id, rect_id, coverage) for every footprint×AOI pair with
     coverage > min_coverage. rects_df: (rect_id, x_min, y_min, x_max,
-    y_max)."""
+    y_max).
+
+    Shuffle hygiene (the minhash ids-only discipline): the cell explode and
+    the candidate dedup carry (id, cell) / (id, rect, bbox) ONLY — polygon
+    WKB never rides an Exchange. The WKB is re-joined ONCE per surviving
+    candidate: with `broadcast_candidates` (default — candidate rows are
+    ~48 bytes of ids+bbox) the join is map-side on the footprint scan, so
+    no Exchange in the whole plan contains wkb; at 10^7+ surviving
+    candidates set it False and the re-join degrades to ONE linear shuffle
+    of each matched footprint's WKB."""
     cov = _cover_wkb_udf(z)
-    fp = footprints_df.select(
+    fp_src = footprints_df.select(
         F.col(fp_id).alias("_fid"), F.col(wkb_col).alias("_wkb")
-    ).withColumn("cell", F.explode(cov(F.col("_wkb"))))
+    )
+    # ids-only cell explode — the WKB stays in its scan partition
+    fp = fp_src.select("_fid", F.explode(cov(F.col("_wkb"))).alias("cell"))
 
     def rect_cells(pdf_iter):
         for pdf in pdf_iter:
@@ -109,8 +121,14 @@ def coverage_join(
         F.col("x_max").cast("double"), F.col("y_max").cast("double"),
     ).mapInPandas(rect_cells, rect_schema)
 
-    cand = fp.join(F.broadcast(rects), "cell").dropDuplicates(["_fid", "_rid"])
-    out = cand.withColumn(
+    cand = (
+        fp.join(F.broadcast(rects), "cell")
+        .select("_fid", "_rid", "x_min", "y_min", "x_max", "y_max")
+        .dropDuplicates(["_fid", "_rid"])  # ids+bbox only in this Exchange
+    )
+    cand_side = F.broadcast(cand) if broadcast_candidates else cand
+    joined = fp_src.join(cand_side, "_fid")  # WKB re-joined once per candidate
+    out = joined.withColumn(
         "coverage",
         _coverage_udf(F.col("_wkb"), F.col("x_min"), F.col("y_min"), F.col("x_max"), F.col("y_max")),
     )

@@ -87,3 +87,32 @@ def test_knn_shuffles_only_keys(spark, images_parquet):
     plan = _plan(out)
     for ex in re.findall(r"Exchange [^\n]*", plan):
         assert "bytes" not in ex, ex
+
+
+def test_coverage_join_wkb_never_in_exchange(spark, images_parquet):
+    """Round-3 hygiene gate: the coverage_join plan must not ship polygon
+    WKB through ANY Exchange (ids-only explode + dedup; WKB re-joined
+    map-side via the broadcast candidate list)."""
+    import pandas as pd
+
+    from gis_scripts_spark.geom import wkb as wkb_mod
+    from gis_scripts_spark.operators import coverage_join as cj
+    from gis_scripts_spark.raster.match import RES_DEG
+
+    imgs = spark.read.parquet(images_parquet)
+    fp = imgs.select(
+        "image_id",
+        F.udf(lambda lon, lat: bytearray(wkb_mod.bbox_to_wkb(
+            lon, lat, lon + 64 * RES_DEG, lat + 64 * RES_DEG)), "binary")(
+            F.col("lon"), F.col("lat")).alias("wkb"),
+    )
+    rects = spark.createDataFrame(pd.DataFrame({
+        "aoi_id": ["a0", "a1"],
+        "x_min": [-20.0, 10.0], "y_min": [-20.0, 10.0],
+        "x_max": [20.0, 50.0], "y_max": [20.0, 50.0],
+    }))
+    out = cj.coverage_join(fp, rects, z=5)
+    plan = _plan(out)
+    for ex in re.findall(r"Exchange [^\n]*", plan):
+        assert "wkb" not in ex, ex
+    assert out.count() >= 0  # plan executes
