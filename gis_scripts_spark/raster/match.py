@@ -323,24 +323,172 @@ def solve_gains(
     return pd.DataFrame(out_rows, columns=["image_id", "band", "a", "b"])
 
 
+_COO_SCHEMA = StructType(
+    [
+        StructField("band", IntegerType(), False),
+        StructField("r", LongType(), False),
+        StructField("c", LongType(), False),
+        StructField("v", DoubleType(), False),
+    ]
+)
+
+
+def _pcg(r_idx: np.ndarray, c_idx: np.ndarray, vals: np.ndarray,
+         b: np.ndarray, n: int, tol: float = 1e-14) -> np.ndarray:
+    """Jacobi-preconditioned conjugate gradient on a COO SPD matrix (pure
+    numpy — no scipy in the sandbox). The normal matrix AᵀWA is SPD because
+    the anchor rows add a positive weight to every diagonal entry."""
+    dmask = r_idx == c_idx
+    diag = np.zeros(n)
+    np.add.at(diag, r_idx[dmask], vals[dmask])
+
+    def mv(x):
+        y = np.zeros(n)
+        np.add.at(y, r_idx, vals * x[c_idx])
+        return y
+
+    x = np.zeros(n)
+    r = b - mv(x)
+    minv = 1.0 / np.where(diag > 0, diag, 1.0)
+    z = minv * r
+    p = z.copy()
+    rz = float(r @ z)
+    bnorm = float(np.linalg.norm(b)) or 1.0
+    for _ in range(4 * n + 200):
+        ap = mv(p)
+        pap = float(p @ ap)
+        if pap <= 0:
+            break
+        alpha = rz / pap
+        x += alpha * p
+        r -= alpha * ap
+        if np.linalg.norm(r) <= tol * bnorm:
+            break
+        z = minv * r
+        rz_new = float(r @ z)
+        p = z + (rz_new / rz) * p
+        rz = rz_new
+    return x
+
+
+def solve_gains_normal(
+    pair_stats: DataFrame,
+    image_ids: list[str],
+    n_bands: int,
+    mean_factor: float = 1.0,
+    std_factor: float = 1.0,
+) -> pd.DataFrame:
+    """Distributed normal-equation solve — the 10^5-image scale path for
+    the same weighted least squares as ``solve_gains`` (global_match.py:
+    345-452 semantics).
+
+    Instead of materializing the dense (2·pairs + 2n) × 2n design matrix on
+    the driver (infeasible beyond ~10^4 images), each pair-stats row emits
+    its 20 nonzero contributions to AᵀWA as (band, row, col, value) COO
+    triples inside a mapInPandas; one groupBy sums them. AᵀWA is 2n×2n but
+    SPARSE — banded by the overlap graph (nnz ≈ 20·pairs + 2n) — so only
+    O(nnz) crosses to the driver, where anchors (a_i=1, b_i=0, weight
+    total_px/2n) land on the diagonal/rhs and a Jacobi-preconditioned CG
+    solves each band. Same minimizer as lstsq on the full-rank system.
+
+    Returns (image_id, band, a, b) like solve_gains."""
+    spark = pair_stats.sparkSession
+    images = sorted(image_ids)
+    idx = {im: i for i, im in enumerate(images)}
+    n = len(images)
+    b_idx = spark.sparkContext.broadcast(idx)
+
+    def coo(batches):
+        idx_l = b_idx.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            i2 = 2 * pdf["id_i"].map(idx_l).to_numpy(np.int64)
+            j2 = 2 * pdf["id_j"].map(idx_l).to_numpy(np.int64)
+            band = pdf["band"].to_numpy(np.int32)
+            w_m = pdf["size"].to_numpy(np.float64) * mean_factor
+            w_s = pdf["size"].to_numpy(np.float64) * std_factor
+            # mean row: positions [2i, 2i+1, 2j, 2j+1], coeffs [M_i, 1, -M_j, -1]
+            pos_m = np.stack([i2, i2 + 1, j2, j2 + 1], axis=1)
+            cf_m = np.stack(
+                [pdf["mean_i"].to_numpy(np.float64), np.ones(len(pdf)),
+                 -pdf["mean_j"].to_numpy(np.float64), -np.ones(len(pdf))], axis=1)
+            # std row: positions [2i, 2j], coeffs [V_i, -V_j]
+            pos_s = np.stack([i2, j2], axis=1)
+            cf_s = np.stack(
+                [pdf["std_i"].to_numpy(np.float64),
+                 -pdf["std_j"].to_numpy(np.float64)], axis=1)
+            outs = []
+            for pos, cf, w in ((pos_m, cf_m, w_m), (pos_s, cf_s, w_s)):
+                k = pos.shape[1]
+                rr = np.repeat(pos, k, axis=1).ravel()           # r index
+                cc = np.tile(pos, (1, k)).ravel()                # c index
+                vv = (np.repeat(cf, k, axis=1) * np.tile(cf, (1, k))
+                      * w[:, None]).ravel()
+                bb = np.repeat(band, k * k)
+                outs.append(pd.DataFrame({"band": bb, "r": rr, "c": cc, "v": vv}))
+            yield pd.concat(outs, ignore_index=True)
+
+    coo_df = (
+        pair_stats.select("id_i", "id_j", "band", "mean_i", "std_i",
+                          "mean_j", "std_j", "size")
+        .mapInPandas(coo, _COO_SCHEMA)
+        .groupBy("band", "r", "c").agg(F.sum("v").alias("v"))
+    )
+    # total overlap px per band for the anchor weight (tiny agg)
+    totals = {int(r["band"]): float(r["t"]) for r in
+              pair_stats.groupBy("band").agg(F.sum("size").alias("t")).collect()}
+    nnz = coo_df.toPandas()
+    out_rows = []
+    for band in range(n_bands):
+        sub = nnz[nnz["band"] == band]
+        pjj = totals.get(band, 0.0) / (2.0 * n) if n else 1.0
+        if pjj <= 0:
+            pjj = 1.0  # anchors alone: a=1, b=0
+        r_idx = np.concatenate([sub["r"].to_numpy(np.int64), np.arange(2 * n)])
+        c_idx = np.concatenate([sub["c"].to_numpy(np.int64), np.arange(2 * n)])
+        vals = np.concatenate([sub["v"].to_numpy(np.float64), np.full(2 * n, pjj)])
+        bvec = np.zeros(2 * n)
+        bvec[0::2] = pjj  # anchor target a_i = 1, weight pjj, coeff 1
+        sol = _pcg(r_idx, c_idx, vals, bvec, 2 * n)
+        for im, i in idx.items():
+            out_rows.append((im, band, float(sol[2 * i]), float(sol[2 * i + 1])))
+    return pd.DataFrame(out_rows, columns=["image_id", "band", "a", "b"])
+
+
 def global_match(images: DataFrame, z: int = 10,
                  mean_factor: float = 1.0, std_factor: float = 1.0,
                  joint_mask: bool = False,
-                 nodata_col: str | None = None) -> tuple[DataFrame, pd.DataFrame]:
+                 nodata_col: str | None = None,
+                 solver: str = "auto") -> tuple[DataFrame, pd.DataFrame]:
     """Full pipeline: returns (adjusted_images_df, params_pdf).
 
     `joint_mask=True` uses the reference-exact AND of both images' validity
     masks for the pair-window stats (overlap crops shuffle); default False
-    keeps pair stats per-side and fully bytes-free."""
+    keeps pair stats per-side and fully bytes-free.
+
+    `solver`: 'dense' = driver lstsq on the full design matrix (reference
+    parity, fine to ~10^3 images); 'normal' = distributed sparse
+    normal-equation assembly + CG (the 10^5+ scale path); 'auto' picks
+    'normal' above 512 images."""
     from gis_scripts_spark.raster import ops
 
     spark = images.sparkSession
     if joint_mask:
-        pair_stats = overlap_pair_stats_joint(images, z=z, nodata_col=nodata_col or "nodata").toPandas()
+        pair_stats_sdf = overlap_pair_stats_joint(images, z=z, nodata_col=nodata_col or "nodata")
     else:
-        pair_stats = overlap_pair_stats(images, z=z, nodata_col=nodata_col).toPandas()
-    whole = ops.band_stats(images, nodata_col=nodata_col).toPandas()
-    params = solve_gains(pair_stats, whole, mean_factor, std_factor)
+        pair_stats_sdf = overlap_pair_stats(images, z=z, nodata_col=nodata_col)
+    meta = images.select("image_id", "bands").distinct().collect()
+    ids = [r["image_id"] for r in meta]
+    n_bands = max((int(r["bands"]) for r in meta), default=0)
+    if solver == "auto":
+        solver = "normal" if len(ids) > 512 else "dense"
+    if solver == "normal":
+        params = solve_gains_normal(pair_stats_sdf, ids, n_bands, mean_factor, std_factor)
+    else:
+        pair_stats = pair_stats_sdf.toPandas()
+        whole = ops.band_stats(images, nodata_col=nodata_col).toPandas()
+        params = solve_gains(pair_stats, whole, mean_factor, std_factor)
     params_df = spark.createDataFrame(params) if len(params) else spark.createDataFrame(
         pd.DataFrame({"image_id": pd.Series(dtype=str), "band": pd.Series(dtype=np.int32),
                       "a": pd.Series(dtype=float), "b": pd.Series(dtype=float)})

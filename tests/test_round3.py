@@ -241,3 +241,68 @@ def test_mosaic_multiband_per_band_validity(spark):
     img = codec_mod.raw_decode(bytes(out.loc[0, "bytes"]))
     assert (img[:, :, 0] == 111).all()   # band 0 shows through to lo
     assert (img[:, :, 1] == 500).all()   # band 1 from hi
+
+
+# ---------------------- distributed normal-equation solve (global_match)
+def test_solve_gains_normal_matches_dense(spark):
+    """Distributed sparse normal-equation + CG path must reproduce the
+    dense driver lstsq params (same minimizer) to 1e-8 on the fixture."""
+    from gis_scripts_spark.raster import match, ops
+
+    rng = np.random.default_rng(21)
+    scene = rng.uniform(100, 2000, (64, 160, 1)).astype(np.int16)
+    rows = []
+    for k, (c0, gain, off) in enumerate([(0, 1.0, 0.0), (48, 1.1, 60.0), (96, 0.9, -40.0)]):
+        tile = (scene[:, c0 : c0 + 64].astype(np.float64) * gain + off).astype(np.int16)
+        rows.append(_typed_image(f"t{k}", tile, c0 * RES_DEG, 0.0))
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=synth.IMAGE_SCHEMA)
+    ps_sdf = match.overlap_pair_stats(df, z=13, nodata_col="nodata")
+    dense = match.solve_gains(ps_sdf.toPandas(),
+                              ops.band_stats(df, nodata_col="nodata").toPandas())
+    normal = match.solve_gains_normal(ps_sdf, [f"t{k}" for k in range(3)], 1)
+    d = dense.sort_values(["image_id", "band"]).reset_index(drop=True)
+    m = normal.sort_values(["image_id", "band"]).reset_index(drop=True)
+    assert (d["image_id"] == m["image_id"]).all()
+    assert np.allclose(d["a"], m["a"], atol=1e-8)
+    assert np.allclose(d["b"], m["b"], atol=1e-8)
+
+
+def test_solve_gains_normal_10k_images(spark):
+    """10^4 images on a 100x100 overlap grid: the dense path would need a
+    (2·pairs+2n) x 2n ≈ 6e4 x 2e4 float64 matrix (~10 GB); the sparse
+    normal path completes and closes the seams."""
+    from gis_scripts_spark.raster import match
+
+    side = 100
+    n = side * side
+    rng = np.random.default_rng(3)
+    gains = rng.uniform(0.8, 1.25, n)
+    ids = [f"im{i:05d}" for i in range(n)]
+    m_true, s_true = 1000.0, 150.0
+    rows = []
+    for gy in range(side):
+        for gx in range(side):
+            i = gy * side + gx
+            for j in (i + 1 if gx + 1 < side else None,
+                      i + side if gy + 1 < side else None):
+                if j is None:
+                    continue
+                rows.append((ids[i], ids[j], 0,
+                             gains[i] * m_true, gains[i] * s_true,
+                             gains[j] * m_true, gains[j] * s_true, 500))
+    ps = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["id_i", "id_j", "band", "mean_i", "std_i",
+                                    "mean_j", "std_j", "size"]),
+        schema=match.PAIR_STATS_SCHEMA)
+    params = match.solve_gains_normal(ps, ids, 1)
+    assert len(params) == n
+    p = params.set_index("image_id")
+    a = p.loc[ids, "a"].to_numpy()
+    b = p.loc[ids, "b"].to_numpy()
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    # seam closure: corrected pair means agree to <0.1% of the scene mean
+    resid = []
+    for id_i, id_j, _, mi, _, mj, _, _ in rows[:5000]:
+        i, j = int(id_i[2:]), int(id_j[2:])
+        resid.append(abs((a[i] * mi + b[i]) - (a[j] * mj + b[j])))
+    assert np.max(resid) < 1e-3 * m_true, np.max(resid)
