@@ -225,3 +225,109 @@ def forward_udf(crs: str):
         return pd.DataFrame({"x": x, "y": y})
 
     return fwd
+
+
+# ----------------------------------------------------- RPC georeferencing
+# 20-term cubic rational polynomial camera model (RPC00B term order, public
+# NITF/STDI-0002 spec) — the WorldView L1B georeferencing the reference
+# projects with `gdalwarp -rpc` (seagrass_lib.py:232-242) and evaluates
+# term-by-term in coord_to_rpc_image (seagrass_lib.py:57-76).
+_RPC_KEYS = [
+    "LINE_OFF", "SAMP_OFF", "LAT_OFF", "LONG_OFF", "HEIGHT_OFF",
+    "LINE_SCALE", "SAMP_SCALE", "LAT_SCALE", "LONG_SCALE", "HEIGHT_SCALE",
+]
+
+
+def rpc_poly(c: np.ndarray, L: np.ndarray, P: np.ndarray, H: np.ndarray) -> np.ndarray:
+    """Evaluate one 20-coefficient cubic polynomial in normalized
+    (L=lon_n, P=lat_n, H=h_n) — RPC00B term order 1, L, P, H, LP, LH, PH,
+    L2, P2, H2, LPH, L3, LP2, LH2, L2P, P3, PH2, L2H, P2H, H3
+    (seagrass_lib.py:66-69). Vectorized over arrays."""
+    c = np.asarray(c, np.float64)
+    return (c[0] + c[1] * L + c[2] * P + c[3] * H + c[4] * L * P
+            + c[5] * L * H + c[6] * P * H + c[7] * L * L + c[8] * P * P
+            + c[9] * H * H + c[10] * L * P * H + c[11] * L ** 3
+            + c[12] * L * P * P + c[13] * L * H * H + c[14] * L * L * P
+            + c[15] * P ** 3 + c[16] * P * H * H + c[17] * L * L * H
+            + c[18] * P * P * H + c[19] * H ** 3)
+
+
+def rpc_pack(rpc: dict) -> list:
+    """RPC metadata dict -> flat 90-double list (10 offsets/scales in
+    _RPC_KEYS order, then LINE_NUM/LINE_DEN/SAMP_NUM/SAMP_DEN x20) — the
+    engine's column representation of GDAL's 'RPC' metadata domain."""
+    out = [float(rpc[k]) for k in _RPC_KEYS]
+    for key in ("LINE_NUM_COEFF", "LINE_DEN_COEFF", "SAMP_NUM_COEFF", "SAMP_DEN_COEFF"):
+        v = rpc[key]
+        coeffs = [float(x) for x in (v.split() if isinstance(v, str) else v)]
+        if len(coeffs) != 20:
+            raise ValueError(f"{key}: expected 20 coefficients, got {len(coeffs)}")
+        out.extend(coeffs)
+    return out
+
+
+def rpc_unpack(arr) -> dict:
+    a = np.asarray(arr, np.float64)
+    if a.size != 90:
+        raise ValueError(f"packed RPC must be 90 doubles, got {a.size}")
+    d = {k: float(a[i]) for i, k in enumerate(_RPC_KEYS)}
+    d["LINE_NUM_COEFF"] = a[10:30]
+    d["LINE_DEN_COEFF"] = a[30:50]
+    d["SAMP_NUM_COEFF"] = a[50:70]
+    d["SAMP_DEN_COEFF"] = a[70:90]
+    return d
+
+
+def rpc_ground_to_image(rpc: dict, lon, lat, height=0.0):
+    """(lon, lat, h) -> fractional (col/sample, row/line) — the reference's
+    coord_to_rpc_image (seagrass_lib.py:57-76) without the int() floor, so
+    the result feeds resampling directly. Vectorized."""
+    lon = np.asarray(lon, np.float64)
+    lat = np.asarray(lat, np.float64)
+    h = np.broadcast_to(np.asarray(height, np.float64), lon.shape)
+    L = (lon - rpc["LONG_OFF"]) / rpc["LONG_SCALE"]
+    P = (lat - rpc["LAT_OFF"]) / rpc["LAT_SCALE"]
+    H = (h - rpc["HEIGHT_OFF"]) / rpc["HEIGHT_SCALE"]
+    col = (rpc_poly(rpc["SAMP_NUM_COEFF"], L, P, H)
+           / rpc_poly(rpc["SAMP_DEN_COEFF"], L, P, H)) * rpc["SAMP_SCALE"] + rpc["SAMP_OFF"]
+    row = (rpc_poly(rpc["LINE_NUM_COEFF"], L, P, H)
+           / rpc_poly(rpc["LINE_DEN_COEFF"], L, P, H)) * rpc["LINE_SCALE"] + rpc["LINE_OFF"]
+    return col, row
+
+
+def rpc_image_to_ground(rpc: dict, col, row, height=0.0, iters: int = 15):
+    """(col, row, h) -> (lon, lat): Newton iteration on the normalized 2x2
+    system with finite-difference Jacobian — the same inversion strategy as
+    GDAL's RPC transformer (there is no closed form). Converges
+    quadratically for well-conditioned satellite RPCs."""
+    col = np.asarray(col, np.float64)
+    row = np.asarray(row, np.float64)
+    h = np.broadcast_to(np.asarray(height, np.float64), col.shape)
+    H = (h - rpc["HEIGHT_OFF"]) / rpc["HEIGHT_SCALE"]
+    # target in normalized image units
+    tc = (col - rpc["SAMP_OFF"]) / rpc["SAMP_SCALE"]
+    tr = (row - rpc["LINE_OFF"]) / rpc["LINE_SCALE"]
+
+    def fwd(L, P):
+        c = rpc_poly(rpc["SAMP_NUM_COEFF"], L, P, H) / rpc_poly(rpc["SAMP_DEN_COEFF"], L, P, H)
+        r = rpc_poly(rpc["LINE_NUM_COEFF"], L, P, H) / rpc_poly(rpc["LINE_DEN_COEFF"], L, P, H)
+        return c, r
+
+    L = np.zeros_like(col)
+    P = np.zeros_like(col)
+    eps = 1e-6
+    for _ in range(iters):
+        c0, r0 = fwd(L, P)
+        fx = c0 - tc
+        fy = r0 - tr
+        cl, rl = fwd(L + eps, P)
+        cp, rp = fwd(L, P + eps)
+        j00 = (cl - c0) / eps  # dc/dL
+        j01 = (cp - c0) / eps  # dc/dP
+        j10 = (rl - r0) / eps  # dr/dL
+        j11 = (rp - r0) / eps  # dr/dP
+        det = j00 * j11 - j01 * j10
+        det = np.where(np.abs(det) < 1e-15, 1e-15, det)
+        L = L - (j11 * fx - j01 * fy) / det
+        P = P - (-j10 * fx + j00 * fy) / det
+    return L * rpc["LONG_SCALE"] + rpc["LONG_OFF"], P * rpc["LAT_SCALE"] + rpc["LAT_OFF"]

@@ -833,6 +833,45 @@ def q_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reproject_rpc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RPC georeferencing warp (R5, rows-only: output is image bytes):
+    un-georeferenced L1B-style scenes + 20-term rational polynomial
+    coefficients -> geographic grid (``gdalwarp -rpc``,
+    seagrass_lib.py:232-242). Deterministic synth; forward/inverse/warp
+    exactness proven in tests/test_round3.py."""
+    from gis_scripts_spark.index import proj as proj_mod
+    from gis_scripts_spark.raster import codec as codec_mod
+    from gis_scripts_spark.raster import warp as warp_mod
+
+    z20 = [0.0] * 20
+    rows = []
+    rng = np.random.default_rng(17)
+    for i in range(8):
+        px = rng.integers(0, 2500, (48, 48, 1)).astype(np.int16)
+        line_num = list(z20); line_num[0:4] = [0.001, 0.02 + 0.001 * i, -1.0, 0.01]
+        samp_num = list(z20); samp_num[0:4] = [-0.002, 1.0, 0.03 - 0.002 * i, -0.01]
+        den = list(z20); den[0] = 1.0; den[4] = 0.0003
+        rpc = proj_mod.rpc_pack({
+            "LINE_OFF": 24.0, "SAMP_OFF": 24.0,
+            "LAT_OFF": 34.0 + 0.05 * i, "LONG_OFF": -119.0 + 0.06 * i,
+            "HEIGHT_OFF": 0.0, "LINE_SCALE": 26.0, "SAMP_SCALE": 26.0,
+            "LAT_SCALE": 0.02, "LONG_SCALE": 0.025, "HEIGHT_SCALE": 500.0,
+            "LINE_NUM_COEFF": line_num, "LINE_DEN_COEFF": den,
+            "SAMP_NUM_COEFF": samp_num, "SAMP_DEN_COEFF": den,
+        })
+        rows.append({
+            "image_id": f"rpc_{i:03d}", "bytes": bytearray(codec_mod.raw_encode(px)),
+            "fmt": "raw", "rpc": rpc, "nodata": -9999.0,
+        })
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = warp_mod.reproject_raster_rpc(df, 1e-3, height=50.0, method="nearest")
+    return out.select(
+        "image_id", "crs", "w", "h",
+        F.round("x0", 6).alias("x0"), F.round("y0", 6).alias("y0"),
+        F.md5("bytes").alias("bytes_md5"),
+    )
+
+
 def q_seamless_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE reference flagship end-to-end (rows-only): overlapping
     shifted INT16 scenes with -9999 holes -> global histogram match (solve
@@ -899,6 +938,7 @@ QUERIES: dict = {
     "image_histogram_match": q_image_histogram_match,
     "mosaic_composite": q_mosaic_composite,
     "reproject_utm": q_reproject_utm,
+    "reproject_rpc": q_reproject_rpc,
     "seamless_mosaic": q_seamless_mosaic,
 }
 

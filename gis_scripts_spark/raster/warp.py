@@ -45,32 +45,12 @@ WARP_SCHEMA = StructType(
 )
 
 
-def _warp_one(img: np.ndarray, lon: float, lat: float, crs: str, res_m: float,
-              nodata: float | None, method: str):
+def _sample(img: np.ndarray, fc: np.ndarray, fr: np.ndarray, oh: int, ow: int,
+            nodata: float | None, method: str) -> np.ndarray:
+    """Sample the source at fractional pixel coords (fc, fr) — nearest or
+    nodata-aware bilinear — into an (oh, ow, bands) array of the source
+    dtype. Shared by the CRS warp and the RPC warp."""
     h, w = img.shape[:2]
-    # projected bbox from a dense boundary sample (curvature-safe)
-    bs = np.linspace(0.0, 1.0, 33)
-    edge_lon = np.concatenate([lon + bs * w * RES_DEG, lon + bs * w * RES_DEG,
-                               np.full(33, lon), np.full(33, lon + w * RES_DEG)])
-    edge_lat = np.concatenate([np.full(33, lat), np.full(33, lat + h * RES_DEG),
-                               lat + bs * h * RES_DEG, lat + bs * h * RES_DEG])
-    ex, ey = proj.forward(crs, edge_lon, edge_lat)
-    # TAP snap: origin on res_m multiples (gdalwarp -tap semantics)
-    x0 = np.floor(ex.min() / res_m) * res_m
-    y1 = np.ceil(ey.max() / res_m) * res_m  # top
-    ow = int(np.ceil((ex.max() - x0) / res_m))
-    oh = int(np.ceil((y1 - ey.min()) / res_m))
-    ow, oh = max(ow, 1), max(oh, 1)
-
-    # inverse-project all target pixel centers
-    txs = x0 + (np.arange(ow) + 0.5) * res_m
-    tys = y1 - (np.arange(oh) + 0.5) * res_m
-    gx, gy = np.meshgrid(txs, tys)
-    glon, glat = proj.inverse(crs, gx.ravel(), gy.ravel())
-    # fractional source pixel coords (footprint model, north-up)
-    fc = (glon - lon) / RES_DEG - 0.5
-    fr = (lat + h * RES_DEG - glat) / RES_DEG - 0.5
-
     fill = nodata if nodata is not None else 0.0
     out = np.full((oh * ow, img.shape[2]), fill, dtype=np.float64)
     if method == "nearest":
@@ -110,6 +90,58 @@ def _warp_one(img: np.ndarray, lon: float, lat: float, crs: str, res_m: float,
         warped = np.clip(np.rint(warped), info.min, info.max).astype(img.dtype)
     else:
         warped = warped.astype(img.dtype)
+    return warped
+
+
+def _warp_one(img: np.ndarray, lon: float, lat: float, crs: str, res_m: float,
+              nodata: float | None, method: str):
+    h, w = img.shape[:2]
+    # projected bbox from a dense boundary sample (curvature-safe)
+    bs = np.linspace(0.0, 1.0, 33)
+    edge_lon = np.concatenate([lon + bs * w * RES_DEG, lon + bs * w * RES_DEG,
+                               np.full(33, lon), np.full(33, lon + w * RES_DEG)])
+    edge_lat = np.concatenate([np.full(33, lat), np.full(33, lat + h * RES_DEG),
+                               lat + bs * h * RES_DEG, lat + bs * h * RES_DEG])
+    ex, ey = proj.forward(crs, edge_lon, edge_lat)
+    # TAP snap: origin on res_m multiples (gdalwarp -tap semantics)
+    x0 = np.floor(ex.min() / res_m) * res_m
+    y1 = np.ceil(ey.max() / res_m) * res_m  # top
+    ow = int(np.ceil((ex.max() - x0) / res_m))
+    oh = int(np.ceil((y1 - ey.min()) / res_m))
+    ow, oh = max(ow, 1), max(oh, 1)
+
+    # inverse-project all target pixel centers
+    txs = x0 + (np.arange(ow) + 0.5) * res_m
+    tys = y1 - (np.arange(oh) + 0.5) * res_m
+    gx, gy = np.meshgrid(txs, tys)
+    glon, glat = proj.inverse(crs, gx.ravel(), gy.ravel())
+    # fractional source pixel coords (footprint model, north-up)
+    fc = (glon - lon) / RES_DEG - 0.5
+    fr = (lat + h * RES_DEG - glat) / RES_DEG - 0.5
+    warped = _sample(img, fc, fr, oh, ow, nodata, method)
+    return warped, float(x0), float(y1)
+
+
+def _warp_one_rpc(img: np.ndarray, rpc: dict, res_deg: float, height: float,
+                  nodata: float | None, method: str):
+    """RPC georeferencing warp (``gdalwarp -rpc``, seagrass_lib.py:232-242):
+    target grid is geographic lon/lat at `res_deg`; every target pixel
+    center projects into the source through the 20-term rational model at
+    the given terrain height (the RPC_HEIGHT transformer option)."""
+    h, w = img.shape[:2]
+    bs = np.linspace(0.0, 1.0, 33)
+    edge_c = np.concatenate([bs * (w - 1), bs * (w - 1), np.zeros(33), np.full(33, float(w - 1))])
+    edge_r = np.concatenate([np.zeros(33), np.full(33, float(h - 1)), bs * (h - 1), bs * (h - 1)])
+    elon, elat = proj.rpc_image_to_ground(rpc, edge_c, edge_r, height)
+    x0 = np.floor(elon.min() / res_deg) * res_deg  # TAP snap
+    y1 = np.ceil(elat.max() / res_deg) * res_deg
+    ow = max(int(np.ceil((elon.max() - x0) / res_deg)), 1)
+    oh = max(int(np.ceil((y1 - elat.min()) / res_deg)), 1)
+    txs = x0 + (np.arange(ow) + 0.5) * res_deg
+    tys = y1 - (np.arange(oh) + 0.5) * res_deg
+    glon, glat = np.meshgrid(txs, tys)
+    fc, fr = proj.rpc_ground_to_image(rpc, glon.ravel(), glat.ravel(), height)
+    warped = _sample(img, fc, fr, oh, ow, nodata, method)
     return warped, float(x0), float(y1)
 
 
@@ -148,6 +180,54 @@ def reproject_raster(
                         "x0": x0,
                         "y0": y1,
                         "res": float(res_m),
+                        "nodata": nd,
+                        "bands": warped.shape[2],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in WARP_SCHEMA.fields])
+
+    return images.select(*sel).mapInPandas(run, WARP_SCHEMA)
+
+
+def reproject_raster_rpc(
+    images: DataFrame,
+    res_deg: float,
+    height: float = 0.0,
+    method: str = "nearest",
+    rpc_col: str = "rpc",
+    nodata_col: str | None = "nodata",
+) -> DataFrame:
+    """Warp un-georeferenced L1B scenes onto a geographic grid through
+    their rational polynomial coefficients — the engine's ``gdalwarp -rpc``
+    (R5; seagrass_lib.py:232-242). `rpc_col`: array<double>[90] per image
+    in proj.rpc_pack order (GDAL 'RPC' metadata domain flattened). Output
+    bytes are RAW1; x0/y0 is the top-left corner in degrees, res in
+    degrees/pixel, crs='lonlat'. Same Spark shape as reproject_raster: one
+    mapInPandas, bytes never shuffle."""
+    sel = ["image_id", "bytes", "fmt", rpc_col] + ([nodata_col] if nodata_col else [])
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                img = codec.decode(bytes(row["bytes"]), row["fmt"])
+                nd = None
+                if nodata_col is not None:
+                    v = row[nodata_col]
+                    nd = float(v) if v is not None and not pd.isna(v) else None
+                rpc = proj.rpc_unpack(np.asarray(row[rpc_col], np.float64))
+                warped, x0, y1 = _warp_one_rpc(img, rpc, res_deg, height, nd, method)
+                rows.append(
+                    {
+                        "image_id": row["image_id"],
+                        "bytes": bytearray(codec.raw_encode(warped)),
+                        "w": warped.shape[1],
+                        "h": warped.shape[0],
+                        "fmt": "raw",
+                        "crs": "lonlat",
+                        "x0": x0,
+                        "y0": y1,
+                        "res": float(res_deg),
                         "nodata": nd,
                         "bands": warped.shape[2],
                     }

@@ -306,3 +306,103 @@ def test_solve_gains_normal_10k_images(spark):
         i, j = int(id_i[2:]), int(id_j[2:])
         resid.append(abs((a[i] * mi + b[i]) - (a[j] * mj + b[j])))
     assert np.max(resid) < 1e-3 * m_true, np.max(resid)
+
+
+# ------------------------------------------------ RPC georeferencing (R5)
+def _wv_rpc():
+    """Synthetic WorldView-like RPC with nonlinear numerator/denominator
+    terms (well-conditioned: denominators near 1)."""
+    z = np.zeros(20)
+    line_num = z.copy(); line_num[[0, 1, 2, 3, 4, 7]] = [0.002, 0.03, -1.01, 0.012, 0.004, 0.0015]
+    samp_num = z.copy(); samp_num[[0, 1, 2, 3, 5, 8]] = [-0.001, 1.02, 0.025, -0.008, 0.003, 0.001]
+    line_den = z.copy(); line_den[[0, 4, 9]] = [1.0, 0.0004, 0.0002]
+    samp_den = z.copy(); samp_den[[0, 6, 7]] = [1.0, 0.0003, 0.0002]
+    return dict(
+        LINE_OFF=1024.0, SAMP_OFF=1024.0, LAT_OFF=34.2, LONG_OFF=-119.5,
+        HEIGHT_OFF=10.0, LINE_SCALE=1100.0, SAMP_SCALE=1100.0,
+        LAT_SCALE=0.04, LONG_SCALE=0.05, HEIGHT_SCALE=500.0,
+        LINE_NUM_COEFF=line_num, LINE_DEN_COEFF=line_den,
+        SAMP_NUM_COEFF=samp_num, SAMP_DEN_COEFF=samp_den,
+    )
+
+
+def test_rpc_forward_matches_reference_port():
+    """Control-point parity vs a literal transcription of the reference's
+    term-by-term evaluation (seagrass_lib.py:57-76, coord_to_rpc_image)."""
+    from gis_scripts_spark.index import proj
+
+    rpc = _wv_rpc()
+    rng = np.random.default_rng(2)
+    lon = rpc["LONG_OFF"] + rng.uniform(-0.04, 0.04, 200)
+    lat = rpc["LAT_OFF"] + rng.uniform(-0.03, 0.03, 200)
+    hgt = rng.uniform(-50, 400, 200)
+    col, row = proj.rpc_ground_to_image(rpc, lon, lat, hgt)
+
+    def ref_poly(c, L, P, H):  # direct numpy port of the reference lines
+        return (c[0] + (c[1] * L) + (c[2] * P) + (c[3] * H) + (c[4] * L * P)
+                + (c[5] * L * H) + (c[6] * P * H) + (c[7] * L**2) + (c[8] * P**2)
+                + (c[9] * H**2) + (c[10] * L * P * H) + (c[11] * L**3)
+                + (c[12] * L * P**2) + (c[13] * L * H**2) + (c[14] * L**2 * P)
+                + (c[15] * P**3) + (c[16] * P * H**2) + (c[17] * L**2 * H)
+                + (c[18] * P**2 * H) + (c[19] * H**3))
+
+    L = (lon - rpc["LONG_OFF"]) / rpc["LONG_SCALE"]
+    P = (lat - rpc["LAT_OFF"]) / rpc["LAT_SCALE"]
+    H = (hgt - rpc["HEIGHT_OFF"]) / rpc["HEIGHT_SCALE"]
+    want_col = (ref_poly(rpc["SAMP_NUM_COEFF"], L, P, H)
+                / ref_poly(rpc["SAMP_DEN_COEFF"], L, P, H)) * rpc["SAMP_SCALE"] + rpc["SAMP_OFF"]
+    want_row = (ref_poly(rpc["LINE_NUM_COEFF"], L, P, H)
+                / ref_poly(rpc["LINE_DEN_COEFF"], L, P, H)) * rpc["LINE_SCALE"] + rpc["LINE_OFF"]
+    assert np.allclose(col, want_col, atol=1e-12)
+    assert np.allclose(row, want_row, atol=1e-12)
+    # reference floors to int (seagrass_lib.py:73-75) — same cells
+    assert (col.astype(int) == want_col.astype(int)).all()
+
+
+def test_rpc_inverse_roundtrip():
+    from gis_scripts_spark.index import proj
+
+    rpc = _wv_rpc()
+    rng = np.random.default_rng(4)
+    lon = rpc["LONG_OFF"] + rng.uniform(-0.04, 0.04, 500)
+    lat = rpc["LAT_OFF"] + rng.uniform(-0.03, 0.03, 500)
+    col, row = proj.rpc_ground_to_image(rpc, lon, lat, 120.0)
+    lon2, lat2 = proj.rpc_image_to_ground(rpc, col, row, 120.0)
+    assert np.abs(lon2 - lon).max() < 1e-9
+    assert np.abs(lat2 - lat).max() < 1e-9
+
+
+def test_rpc_warp_nearest_matches_numpy(spark):
+    """RPC warp parity: every valid output pixel equals the source pixel
+    selected by rounding the RPC-projected fractional coords (numpy
+    oracle); sentinel fills outside the footprint."""
+    from gis_scripts_spark.index import proj
+    from gis_scripts_spark.raster import codec as codec_mod
+    from gis_scripts_spark.raster import warp as warp_mod
+
+    rpc = _wv_rpc()
+    rng = np.random.default_rng(6)
+    src = rng.integers(0, 3000, (96, 96, 1)).astype(np.int16)
+    packed = proj.rpc_pack(rpc)
+    pdf = pd.DataFrame([{
+        "image_id": "rpc0", "bytes": bytearray(codec_mod.raw_encode(src)),
+        "fmt": "raw", "rpc": packed, "nodata": -9999.0,
+    }])
+    df = spark.createDataFrame(pdf)
+    res = 5e-5
+    out = warp_mod.reproject_raster_rpc(df, res, height=120.0, method="nearest").toPandas()
+    r = out.iloc[0]
+    img = codec_mod.raw_decode(bytes(r["bytes"]))
+    assert img.dtype == np.int16
+    # numpy oracle over the same target grid
+    txs = r["x0"] + (np.arange(r["w"]) + 0.5) * res
+    tys = r["y0"] - (np.arange(r["h"]) + 0.5) * res
+    glon, glat = np.meshgrid(txs, tys)
+    fc, fr = proj.rpc_ground_to_image(rpc, glon.ravel(), glat.ravel(), 120.0)
+    c = np.rint(fc).astype(np.int64)
+    rr = np.rint(fr).astype(np.int64)
+    ok = (c >= 0) & (c < 96) & (rr >= 0) & (rr < 96)
+    want = np.full(glon.size, -9999.0)
+    want[ok] = src[rr[ok], c[ok], 0]
+    assert np.array_equal(img[:, :, 0].ravel().astype(np.float64), want)
+    assert ok.sum() > 1000  # footprint actually covered
