@@ -24,6 +24,7 @@ import struct
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from gis_scripts_spark.geom import wkb as wkb_mod
 
@@ -60,6 +61,59 @@ def parse_shp(buf: bytes) -> pd.DataFrame:
         # type 0 (null) and unsupported types are skipped, like ogr warnings
         off += content_len * 2
     return pd.DataFrame(rows, columns=["feature_id", "shape_type", "wkb"])
+
+
+def parse_dbf(buf: bytes) -> pd.DataFrame:
+    """.dbf (dBASE III, the shapefile attribute table per the public dBASE
+    spec) -> (feature_id, <attr columns as strings>) pandas frame.
+
+    Reference parity: OGR exposes shapefile attributes as the layer schema
+    (the reference copies it field-by-field, ``seagrass_lib.py:467-477``,
+    and filters on it via ``SetAttributeFilter("CLASS_NAME = '...'")``
+    ``seagrass_lib.py:532``). Field values are returned as stripped strings
+    (dBASE stores fixed-width text); numeric casts are one Catalyst
+    ``.cast()`` away, keeping the scan schema-stable for Spark. Deleted
+    records ('*' flag) keep their slot (feature_id aligns with .shp record
+    order) but are marked in the ``_deleted`` column."""
+    if len(buf) < 32:
+        raise ValueError("not a dBASE file")
+    n_rec = struct.unpack_from("<I", buf, 4)[0]
+    hdr_size, rec_size = struct.unpack_from("<HH", buf, 8)
+    fields = []
+    off = 32
+    while off < hdr_size - 1 and buf[off] != 0x0D:
+        name = buf[off : off + 11].split(b"\0")[0].decode("ascii", "replace")
+        ftype = chr(buf[off + 11])
+        flen = buf[off + 16]
+        fields.append((name, ftype, flen))
+        off += 32
+    rows = []
+    pos = hdr_size
+    for rec in range(n_rec):
+        if pos + rec_size > len(buf):
+            break
+        deleted = buf[pos : pos + 1] == b"*"
+        vals = {"feature_id": rec + 1, "_deleted": deleted}
+        fp = pos + 1
+        for name, ftype, flen in fields:
+            raw = buf[fp : fp + flen]
+            fp += flen
+            vals[name] = raw.decode("ascii", "replace").strip() or None
+        rows.append(vals)
+        pos += rec_size
+    cols = ["feature_id", "_deleted"] + [f[0] for f in fields]
+    return pd.DataFrame(rows, columns=cols)
+
+
+def dbf_field_names(buf: bytes) -> list[str]:
+    """Field names only (header scan) — used to fix the Spark schema before
+    the distributed parse."""
+    hdr_size = struct.unpack_from("<H", buf, 8)[0]
+    names, off = [], 32
+    while off < hdr_size - 1 and buf[off] != 0x0D:
+        names.append(buf[off : off + 11].split(b"\0")[0].decode("ascii", "replace"))
+        off += 32
+    return names
 
 
 def read_shapefiles(spark: SparkSession, path_glob: str) -> DataFrame:
@@ -149,4 +203,85 @@ def read_geopackage(
     )
     return spark.createDataFrame(pdf) if len(pdf) else spark.createDataFrame(
         pd.DataFrame({"feature_id": pd.Series(dtype=np.int64), "wkb": pd.Series(dtype=object)})
+    )
+
+
+def read_shapefile_attrs(
+    spark: SparkSession, path_glob: str, field_names: list[str] | None = None
+) -> DataFrame:
+    """Distributed .dbf scan: (path, feature_id, _deleted, <fields...>) —
+    all attribute columns as strings (cast downstream with Catalyst).
+    `field_names` fixes the Spark schema; if None it is inferred from the
+    first matching file (one tiny driver-side header read via binaryFile).
+    Files missing a field yield nulls; extra fields are dropped —
+    the multi-file union rule OGR applies when merging layers."""
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+    if field_names is None:
+        first = files.limit(1).collect()
+        if not first:
+            raise ValueError(f"no files match {path_glob}")
+        field_names = dbf_field_names(bytes(first[0]["content"]))
+    schema = StructType(
+        [
+            StructField("path", StringType(), False),
+            StructField("feature_id", IntegerType(), False),
+            StructField("_deleted", BooleanType(), False),
+        ]
+        + [StructField(n, StringType(), True) for n in field_names]
+    )
+    names = list(field_names)
+
+    def run(batches):
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                try:
+                    attrs = parse_dbf(bytes(row["content"]))
+                except ValueError:
+                    continue
+                for n in names:
+                    if n not in attrs.columns:
+                        attrs[n] = None
+                attrs = attrs[["feature_id", "_deleted"] + names]
+                attrs.insert(0, "path", str(row["path"]))
+                outs.append(attrs)
+            yield pd.concat(outs) if outs else pd.DataFrame(
+                {f.name: [] for f in schema.fields}
+            )
+
+    return files.mapInPandas(run, schema)
+
+
+def read_shapefiles_with_attrs(
+    spark: SparkSession, shp_glob: str, field_names: list[str] | None = None
+) -> DataFrame:
+    """Full shapefile scan: geometry (.shp) + attributes (.dbf) joined on
+    (layer stem, record number) — the reference's OGR feature view
+    (geometry + fields, seagrass_lib.py:467-477). Attribute filters become
+    ordinary Catalyst predicates, mirroring SetAttributeFilter
+    (seagrass_lib.py:532):
+
+        read_shapefiles_with_attrs(spark, "aoi/*.shp")
+            .filter(F.col("CLASS_NAME") == "seagrass")
+
+    Deleted dBASE records are dropped (OGR skips them)."""
+    dbf_glob = shp_glob[:-4] + ".dbf" if shp_glob.endswith(".shp") else shp_glob
+    geom = read_shapefiles(spark, shp_glob).withColumn(
+        "_stem", F.regexp_replace(F.col("path"), r"\.shp$", "")
+    )
+    attrs = read_shapefile_attrs(spark, dbf_glob, field_names).withColumn(
+        "_stem", F.regexp_replace(F.col("path"), r"\.dbf$", "")
+    ).drop("path")
+    out = geom.join(attrs, ["_stem", "feature_id"], "left")
+    return (
+        out.filter((F.col("_deleted").isNull()) | (~F.col("_deleted")))
+        .drop("_stem", "_deleted")
     )

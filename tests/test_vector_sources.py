@@ -123,3 +123,92 @@ def test_gpkg_envelope_codes():
     assert vector.gpkg_strip_header(blob) == wkb
     with pytest.raises(ValueError):
         vector.gpkg_strip_header(b"XX" + b"\0" * 40)
+
+
+# ----------------------------------------------------- .dbf attributes (S4)
+def _dbf_file(fields, records) -> bytes:
+    """Minimal dBASE III writer for fixtures: fields = [(name, length)],
+    records = [list of string values] (all type C)."""
+    n_rec = len(records)
+    hdr_size = 32 + 32 * len(fields) + 1
+    rec_size = 1 + sum(l for _, l in fields)
+    head = bytearray(32)
+    head[0] = 0x03
+    struct.pack_into("<I", head, 4, n_rec)
+    struct.pack_into("<HH", head, 8, hdr_size, rec_size)
+    out = bytearray(head)
+    for name, length in fields:
+        fd = bytearray(32)
+        fd[0:11] = name.encode("ascii")[:11].ljust(11, b"\0")
+        fd[11] = ord("C")
+        fd[16] = length
+        out += fd
+    out += b"\x0d"
+    for rec in records:
+        out += b" "  # active record flag
+        for (name, length), val in zip(fields, rec):
+            out += str(val).encode("ascii")[:length].ljust(length, b" ")
+    return bytes(out)
+
+
+def test_parse_dbf_fields_and_deleted():
+    buf = bytearray(_dbf_file([("CLASS_NAME", 12), ("SITE", 6)],
+                              [["seagrass", "s1"], ["sand", "s2"], ["seagrass", "s3"]]))
+    # mark record 2 deleted
+    hdr_size = struct.unpack_from("<H", buf, 8)[0]
+    rec_size = struct.unpack_from("<H", buf, 10)[0]
+    buf[hdr_size + rec_size] = ord("*")
+    out = vector.parse_dbf(bytes(buf))
+    assert list(out.columns) == ["feature_id", "_deleted", "CLASS_NAME", "SITE"]
+    assert list(out["feature_id"]) == [1, 2, 3]
+    assert list(out["CLASS_NAME"]) == ["seagrass", "sand", "seagrass"]
+    assert list(out["_deleted"]) == [False, True, False]
+    assert vector.dbf_field_names(bytes(buf)) == ["CLASS_NAME", "SITE"]
+
+
+def test_shapefile_attrs_filtered_pip_join(spark, tmp_path):
+    """The reference's SetAttributeFilter("CLASS_NAME = 'x'") -> PIP flow
+    (seagrass_lib.py:532) as a Catalyst filter on the joined scan."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from gis_scripts_spark.operators import pip_join
+
+    # two layers x 2 polygons, with attribute tables
+    for li in range(2):
+        recs = _shp_polygon_record(1, [_square(li * 40, 0, 10)])
+        recs += _shp_polygon_record(2, [_square(li * 40 + 20, 0, 10)])
+        (tmp_path / f"aoi_{li}.shp").write_bytes(_shp_file(recs))
+        (tmp_path / f"aoi_{li}.dbf").write_bytes(_dbf_file(
+            [("CLASS_NAME", 12)],
+            [[f"seagrass"], [f"sand"]],
+        ))
+    layer = vector.read_shapefiles_with_attrs(spark, str(tmp_path / "*.shp"))
+    assert set(layer.columns) >= {"path", "feature_id", "wkb", "CLASS_NAME"}
+    sea = layer.filter(F.col("CLASS_NAME") == "seagrass")
+    polys = sea.select(
+        F.concat(F.regexp_extract("path", r"aoi_(\d)", 1), F.lit("_"),
+                 F.col("feature_id").cast("string")).alias("poly_id"),
+        "wkb")
+    # points: centers of all four squares; only the two seagrass ones match
+    pts = spark.createDataFrame(pd.DataFrame({
+        "pt_id": ["p0", "p1", "p2", "p3"],
+        "lon": [5.0, 25.0, 45.0, 65.0],
+        "lat": [5.0, 5.0, 5.0, 5.0],
+    }))
+    pairs = pip_join.pip_join(pts, polys, z=6).toPandas()
+    got = sorted(zip(pairs["pt_id"], pairs["poly_id"]))
+    assert got == [("p0", "0_1"), ("p2", "1_1")]
+
+
+def test_dbf_deleted_records_dropped(spark, tmp_path):
+    recs = _shp_polygon_record(1, [_square(0, 0, 10)])
+    recs += _shp_polygon_record(2, [_square(20, 0, 10)])
+    (tmp_path / "l.shp").write_bytes(_shp_file(recs))
+    buf = bytearray(_dbf_file([("NAME", 8)], [["keep"], ["gone"]]))
+    hdr_size = struct.unpack_from("<H", buf, 8)[0]
+    rec_size = struct.unpack_from("<H", buf, 10)[0]
+    buf[hdr_size + rec_size] = ord("*")
+    (tmp_path / "l.dbf").write_bytes(bytes(buf))
+    out = vector.read_shapefiles_with_attrs(spark, str(tmp_path / "*.shp")).toPandas()
+    assert list(out["NAME"]) == ["keep"]
