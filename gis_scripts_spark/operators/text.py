@@ -120,3 +120,42 @@ def fingerprint_udf(window: int = 8):
         return pd.Series(out)
 
     return fp
+
+
+def md5_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    max_chars: int = 4096,
+) -> DataFrame:
+    """Winnowing-style document fingerprint with an SQL-portable hash:
+    normalize (lower + collapse whitespace, first `max_chars` chars),
+    md5 every `window`-char shingle, fingerprint = MIN hex prefix (16
+    chars — lexicographic min of fixed-width lowercase hex == numeric min).
+    Pure Column math end-to-end (JVM codegen: explode + substr + md5 +
+    min with map-side partial agg); shorter-than-window docs hash whole.
+
+    Returns (id_col, fingerprint). The shingle explode is linear in text
+    length (the standard shingle expansion), and the min-agg combines
+    map-side, so shuffle volume is one row per document."""
+    w = window
+    norm = F.substring(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), 1, max_chars
+    )
+    base = df.select(F.col(id_col), norm.alias("_norm"), F.length(norm).alias("_n"))
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.when(F.col("_n") >= w, F.sequence(F.lit(1), F.col("_n") - w + 1))
+            .otherwise(F.array(F.lit(1)))
+        ).alias("_i"),
+        "_norm", "_n",
+    ).select(
+        id_col,
+        F.when(F.col("_n") >= w, F.col("_norm").substr(F.col("_i"), F.lit(w)))
+        .otherwise(F.col("_norm")).alias("_g"),
+    )
+    return grams.groupBy(id_col).agg(
+        F.min(F.substring(F.md5("_g"), 1, 16)).alias("fingerprint")
+    )

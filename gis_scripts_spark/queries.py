@@ -445,13 +445,52 @@ FROM t
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lang-ID heuristic + winnowing fingerprint (engine-defined hashing ->
-    rows-only driver check; determinism + collision behavior proven in
-    tests/test_dedup_text.py)."""
+    """Lang-ID heuristic + md5-winnowing fingerprint — FULL oracle (the
+    simhash trick: md5 shingle hashes + lexicographic min rebuild exactly
+    in DuckDB SQL; the lang-ID marker argmax is CASE logic). The
+    engine-hashed Rabin-Karp variant remains as text.fingerprint_udf with
+    its determinism pytest."""
     docs = _pq(spark, sf_dir, "documents")
+    fp = text.md5_fingerprints(docs, "text", "doc_id")
     out = docs.withColumn("lang_pred", text.lang_id_udf()(F.col("text")))
-    out = out.withColumn("fingerprint", text.fingerprint_udf()(F.col("text")))
-    return out.select("doc_id", "lang_pred", "fingerprint")
+    return out.join(fp, "doc_id").select("doc_id", "lang_pred", "fingerprint")
+
+
+def _sql_lang_hits(lang: str) -> str:
+    from gis_scripts_spark.operators.text import _LANG_MARKERS
+
+    words = ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[lang]))
+    return (f"LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(LOWER(text), ' ')), "
+            f"[{words}])) AS {lang}_hits")
+
+
+SQL_TEXT_FINGERPRINT = rf"""
+WITH nrm AS (
+  SELECT doc_id,
+         substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 4096) AS nm
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         CASE WHEN length(nm) >= 8 THEN substr(nm, CAST(i AS INTEGER), 8) ELSE nm END AS g
+  FROM nrm, LATERAL (SELECT unnest(range(1, GREATEST(length(nm) - 7, 1) + 1)) AS i)),
+fp AS (SELECT doc_id, MIN(substr(md5(g), 1, 16)) AS fingerprint FROM grams GROUP BY doc_id),
+hits AS (
+  SELECT doc_id,
+         {_sql_lang_hits('de')}, {_sql_lang_hits('en')}, {_sql_lang_hits('es')},
+         {_sql_lang_hits('fr')}, {_sql_lang_hits('it')}
+  FROM documents),
+lang AS (
+  SELECT doc_id,
+         CASE WHEN GREATEST(de_hits, en_hits, es_hits, fr_hits, it_hits) = 0 THEN 'und'
+              WHEN de_hits = GREATEST(de_hits, en_hits, es_hits, fr_hits, it_hits) THEN 'de'
+              WHEN en_hits = GREATEST(de_hits, en_hits, es_hits, fr_hits, it_hits) THEN 'en'
+              WHEN es_hits = GREATEST(de_hits, en_hits, es_hits, fr_hits, it_hits) THEN 'es'
+              WHEN fr_hits = GREATEST(de_hits, en_hits, es_hits, fr_hits, it_hits) THEN 'fr'
+              ELSE 'it' END AS lang_pred
+  FROM hits)
+SELECT l.doc_id, l.lang_pred, f.fingerprint
+FROM lang l JOIN fp f ON l.doc_id = f.doc_id
+"""
 
 
 def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -957,10 +996,11 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "simhash_pairs": SQL_SIMHASH,
     "text_quality": SQL_TEXT_QUALITY,
+    "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "zonal_agreement": SQL_ZONAL_AGREEMENT,
-    # minhash_lsh_pairs, text_fingerprint: engine-defined hashing (blake2b
-    # signatures / winnowing) with no ANSI-SQL equivalent -> rows-only
-    # driver check; exactness/recall asserted in tests/test_dedup_text.py.
+    # minhash_lsh_pairs: engine-defined hashing (blake2b signatures) with
+    # no ANSI-SQL equivalent -> rows-only driver check; exactness/recall
+    # asserted in tests/test_dedup_text.py.
     # mosaic_composite / seamless_mosaic / reproject_utm / image_*: bytes
     # pipelines -> rows-only; pixel exactness proven by numpy oracles in
     # tests/ (test_mosaic.py, test_proj_warp.py, test_raster_ops.py).
