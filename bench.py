@@ -57,8 +57,11 @@ BENCH_QUERIES = [
     "image_histogram_match",
     "mosaic_composite",
     "reproject_utm",
+    "reproject_rpc",
     "seamless_mosaic",
 ]
+
+RUNS_PER_QUERY = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def flagship_pipeline(spark, sf_dir):
@@ -83,25 +86,31 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    load_t0 = os.getloadavg()[0]
 
-    def timed(make_df) -> float:
-        # min-of-2 after warm: the host has noisy bursts (BENCH/BASELINE.md)
+    def timed(name, make_df) -> float:
+        # measurement hygiene (round-2 verdict): warm once, then min-of-K
+        # (K>=3) with the per-query max/min spread recorded — the host has
+        # noisy multi-minute phases (BENCH/BASELINE.md), and a single-run
+        # JSON proved untrustworthy as a record
         force(make_df())
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(RUNS_PER_QUERY):
             t0 = time.perf_counter()
             force(make_df())
-            best = min(best, time.perf_counter() - t0)
-        return best
+            runs.append(time.perf_counter() - t0)
+        spreads[name] = round(max(runs) / max(min(runs), 1e-9), 2)
+        return min(runs)
 
     # flagship: spatial-join + tile-assignment throughput
     n_points = Q._pq(spark, sf_dir, "customer").count()
-    flagship_sec = timed(lambda: flagship_pipeline(spark, sf_dir))
+    flagship_sec = timed("flagship_pip_tile", lambda: flagship_pipeline(spark, sf_dir))
     timings["flagship_pip_tile"] = round(flagship_sec, 3)
 
     for name in BENCH_QUERIES:
         fn = Q.QUERIES[name]
-        timings[name] = round(timed(lambda: fn(spark, sf_dir)), 3)
+        timings[name] = round(timed(name, lambda: fn(spark, sf_dir)), 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -114,6 +123,11 @@ def main() -> None:
         # north-rule headline: spatial-join + tile-assignment throughput
         "flagship_rows_per_sec": round(n_points / flagship_sec, 1),
         "flagship_rows": n_points,
+        # hygiene markers: per-query max/min across the K timed runs, and
+        # the 1-min loadavg before/after (host-phase indicator)
+        "runs_per_query": RUNS_PER_QUERY,
+        "spread": spreads,
+        "loadavg": [round(load_t0, 2), round(os.getloadavg()[0], 2)],
     }
     print(json.dumps(out))
 
