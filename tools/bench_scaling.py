@@ -129,6 +129,48 @@ def job_north(spark, n: int) -> int:
     return n
 
 
+def job_north_p0(spark, n: int) -> int:
+    """north_full prefix: synth only (== job_images agg shape)."""
+    return job_images(spark, n)
+
+
+def job_north_p1(spark, n: int) -> int:
+    """north_full prefix: synth -> tile assignment (adds the quadkey Column
+    math + S2 pandas UDF hop), no join."""
+    from gis_scripts_spark.operators import tile_assign
+    from gis_scripts_spark.sources import synth
+
+    images = synth.images_df(spark, n, parts=IMG_PARTS)
+    assigned = tile_assign.assign_tiles(images, grid_z=7, tile_z=12, s2_level=12)
+    agg = assigned.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pmod(F.col("phash"), F.lit(997))).alias("phash_sum"),
+        F.min("s2_cell").alias("s2_min"),
+        F.sum(F.length("quadkey")).alias("qk_len_sum"),
+    )
+    agg.write.format("noop").mode("overwrite").save()
+    return n
+
+
+def job_north_p2(spark, n: int) -> int:
+    """north_full prefix: synth -> assign -> PIP join (adds the broadcast
+    cover join + exact ray-cast UDF), count-only agg (no zonal shuffle)."""
+    from gis_scripts_spark.operators import pip_join, tile_assign
+    from gis_scripts_spark.sources import synth
+
+    images = synth.images_df(spark, n, parts=IMG_PARTS)
+    assigned = tile_assign.assign_tiles(images, grid_z=7, tile_z=12, s2_level=12)
+    keys = assigned.select("image_id", "lon", "lat", "quadkey", "s2_cell", "phash")
+    polys = synth.aoi_polygons_df(spark)
+    joined = pip_join.pip_join(keys, polys, z=9)
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pmod(F.col("phash"), F.lit(997))).alias("phash_sum"),
+    )
+    agg.write.format("noop").mode("overwrite").save()
+    return n
+
+
 def run_at(cores: int, fn, n: int, arrow_batch: int = 8192, mode: str = "local", runs: int = 5, exec_cores: int = 8) -> float:
     """Warm + min-of-5 timing at a parallelism level.
 
@@ -232,6 +274,14 @@ def main() -> None:
         ("points_s2_udf", job_points_s2, min(args.points, 60_000_000), 32768),
         ("images", job_images, args.images, 8192),
         ("north_full", job_north, args.images, 8192),
+        # staged decomposition of north_full (cumulative prefixes — the
+        # per-stage delta attributes the efficiency gap to a stage)
+        ("north_p0_synth", job_north_p0, args.images, 8192),
+        ("north_p1_assign", job_north_p1, args.images, 8192),
+        ("north_p2_join", job_north_p2, args.images, 8192),
+        # north_full with big Arrow batches (fewer IPC round trips on the
+        # key-only S2/ray-cast UDF hops)
+        ("north_full_b32k", job_north, args.images, 32768),
     ):
         if name not in wanted:
             continue
