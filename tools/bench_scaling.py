@@ -171,6 +171,33 @@ def job_north_p2(spark, n: int) -> int:
     return n
 
 
+def _set_tree_affinity(cpus: set) -> None:
+    """Pin THIS process and every live descendant (driver JVM, executor
+    JVMs, pyspark daemons) to `cpus`. Needed because pyspark reuses the
+    py4j gateway JVM across sessions: a JVM spawned during an 8-pinned
+    phase keeps its 8-CPU mask forever, and every executor it later
+    spawns inherits it — silently running the '32-core' level on 8 CPUs.
+    (Observed: p0@32 = 58.6s vs p0@8 = 54.5s before this fix.)"""
+    children: dict[int, list[int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                ppid = int(f.read().split()[3])
+        except (OSError, ValueError, IndexError):
+            continue
+        children.setdefault(ppid, []).append(int(d))
+    todo = [os.getpid()]
+    while todo:
+        p = todo.pop()
+        try:
+            os.sched_setaffinity(p, cpus)
+        except OSError:
+            pass
+        todo += children.get(p, [])
+
+
 def run_at(cores: int, fn, n: int, arrow_batch: int = 8192, mode: str = "local", runs: int = 5, exec_cores: int = 8) -> float:
     """Warm + min-of-5 timing at a parallelism level.
 
@@ -178,12 +205,27 @@ def run_at(cores: int, fn, n: int, arrow_batch: int = 8192, mode: str = "local",
     mode='local-cluster': local-cluster[cores/4, 4, mem] — cores/4 SEPARATE
     executor JVMs of 4 cores each, the faithful shape of 'adding executors'
     on a real cluster (each executor brings its own heap, GC, shuffle
-    server and Python workers; the driver JVM does no task work)."""
+    server and Python workers; the driver JVM does no task work).
+
+    CPU AFFINITY (round 3): `local-cluster[1,8]` bounds task SLOTS, not
+    CPUs — each task's Python UDF workers are separate OS processes that
+    the kernel happily schedules across all 32 physical cores, so a
+    3-Python-hop pipeline's "8-core" level silently borrows cores a real
+    8-core node does not have (symptom that exposed it: north_full@8
+    measured FASTER than its own strict-subset synth-only job). The N
+    level now runs with the process affinity mask pinned to `cores` CPUs
+    (children — JVMs and their Python workers — inherit it), making the
+    proxy faithful."""
     import pyspark
 
     from gis_scripts_spark.session import get_spark, stop_spark
 
     stop_spark()
+    try:
+        all_cpus = sorted(os.sched_getaffinity(0))
+        os.sched_setaffinity(0, set(all_cpus[: min(cores, len(all_cpus))]))
+    except (AttributeError, OSError):
+        pass  # non-Linux: no pinning, measurement proceeds unpinned
     extra = {
         "spark.driver.memory": "16g",
         "spark.sql.execution.arrow.maxRecordsPerBatch": str(arrow_batch),
@@ -226,7 +268,15 @@ def run_at(cores: int, fn, n: int, arrow_batch: int = 8192, mode: str = "local",
             shuffle_partitions=2 * cores, extra_conf=extra,
         )
     spark.sparkContext.setLogLevel("ERROR")
+    try:
+        cpu_set = set(os.sched_getaffinity(0))  # the mask pinned above
+    except (AttributeError, OSError):
+        cpu_set = None
+    if cpu_set is not None:
+        _set_tree_affinity(cpu_set)  # pin the just-spawned JVM tree
     fn(spark, n)  # full-size warm: JIT, codegen, UDF workers, GC steady state
+    if cpu_set is not None:
+        _set_tree_affinity(cpu_set)  # re-pin: warm spawned the UDF daemons
     runs_t = []
     for _ in range(runs):
         t0 = time.perf_counter()
@@ -236,6 +286,10 @@ def run_at(cores: int, fn, n: int, arrow_batch: int = 8192, mode: str = "local",
         stop_spark()
     except Exception as exc:  # local-cluster teardown races its workers
         print(f"(ignored teardown error: {exc})", file=sys.stderr)
+    try:
+        os.sched_setaffinity(0, set(all_cpus))  # restore for non-timed code
+    except (AttributeError, OSError, NameError):
+        pass
     # the sandbox host has sporadic multi-second noisy-neighbor bursts that
     # hit wide (32-thread) runs hardest; min-of-5 is the contention-free
     # estimate of machine capability
