@@ -171,6 +171,36 @@ def job_north_p2(spark, n: int) -> int:
     return n
 
 
+NTAB_PATH = None  # set by main(): parquet path for the table-backed north job
+
+
+def job_north_table(spark, n: int) -> int:
+    """THE north-rule workload in its PRODUCTION shape: the input_hint
+    image+caption table read from PARQUET (the north rule's input is an
+    Iceberg TABLE — generation is not part of the measured query), then
+    tile assignment -> cell-keyed PIP join -> zonal rollup. Two Python
+    hops (S2 encode, boundary ray-cast) over a JVM columnar scan; the
+    bytes column is pruned by Catalyst since the zonal agg never reads it
+    (the reference plan gate behavior). The parquet is written ONCE,
+    untimed, and reused bit-identically at both parallelism levels."""
+    from gis_scripts_spark.operators import pip_join, tile_assign
+    from gis_scripts_spark.sources import synth
+
+    images = spark.read.parquet(NTAB_PATH)
+    assigned = tile_assign.assign_tiles(images, grid_z=7, tile_z=12, s2_level=12)
+    keys = assigned.select("image_id", "lon", "lat", "quadkey", "s2_cell", "phash")
+    polys = synth.aoi_polygons_df(spark)
+    joined = pip_join.pip_join(keys, polys, z=9)
+    agg = joined.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.pmod(F.col("phash"), F.lit(997))).alias("phash_sum"),
+        F.sum(F.length("quadkey")).alias("qk_len_sum"),
+        F.min("s2_cell").alias("s2_min"),
+    )
+    agg.write.format("noop").mode("overwrite").save()
+    return n
+
+
 def _set_tree_affinity(cpus: set) -> None:
     """Pin THIS process and every live descendant (driver JVM, executor
     JVMs, pyspark daemons) to `cpus`. Needed because pyspark reuses the
@@ -318,9 +348,20 @@ def main() -> None:
     )
     args = ap.parse_args()
 
-    global IMG_PARTS
+    global IMG_PARTS, NTAB_PATH
     IMG_PARTS = args.img_parts
     wanted = set(args.jobs.split(","))
+    if "north_table" in wanted:
+        from gis_scripts_spark.session import get_spark, stop_spark
+        from gis_scripts_spark.sources import synth as synth_mod
+
+        NTAB_PATH = f"/tmp/scaling_ntab_{args.images}_{IMG_PARTS}"
+        if not os.path.exists(os.path.join(NTAB_PATH, "_SUCCESS")):
+            stop_spark()
+            sp = get_spark("ntab-prep", cores=16)
+            synth_mod.images_df(sp, args.images, parts=IMG_PARTS).write.mode(
+                "overwrite").parquet(NTAB_PATH)
+            stop_spark()
     c_n, c_4n = args.n_cores, args.n4_cores
     results = {"cores_pair": [c_n, c_4n], "mode": args.mode}
     for name, fn, n, batch in (
@@ -336,6 +377,8 @@ def main() -> None:
         # north_full with big Arrow batches (fewer IPC round trips on the
         # key-only S2/ray-cast UDF hops)
         ("north_full_b32k", job_north, args.images, 32768),
+        # production shape: table input (generation untimed)
+        ("north_table", job_north_table, args.images, 8192),
     ):
         if name not in wanted:
             continue
