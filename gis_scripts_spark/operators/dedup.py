@@ -405,3 +405,101 @@ def cluster_pairs(pairs_pdf: pd.DataFrame, id_a: str = "id_a", id_b: str = "id_b
             parent[max(ra, rb)] = min(ra, rb)
     rows = [(x, find(x)) for x in list(parent)]
     return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
+
+
+def minhash_lsh_pairs_sql(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_perm: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Banded MinHash LSH with an SQL-portable hash family — ZERO Python in
+    the plan (pure Column math, whole-stage codegen) and bit-reproducible
+    in ANSI SQL, which flips the driver row to a full oracle.
+
+    Definition (mirrored verbatim by the DuckDB oracle):
+      shingle set  = DISTINCT word `shingle_n`-grams of text split on ' '
+                     (the tokens themselves when the doc is shorter)
+      h_i(s)       = substr(md5(i || '|' || s), 1, 16)   i in [0, n_perm)
+      sig_i        = lexicographic MIN over shingles (== numeric min for
+                     fixed-width lowercase hex)
+      band hash    = md5 of the band's sig values joined in perm order
+      candidates   = pairs sharing any (band, bhash), id_a < id_b
+      jaccard      = exact |A∩B|/|A∪B| on the shingle sets; keep >= threshold
+
+    Scale shape: the perm explode carries (id, perm, 16-char hash) with
+    map-side MIN combine -> the sig shuffle is docs x n_perm rows; the
+    banded self-join carries (id, band, bhash) only; full shingle sets are
+    re-joined once per surviving candidate for the exact-Jaccard verify
+    (the ids-only discipline of minhash_lsh_pairs)."""
+    if n_perm % bands != 0:
+        raise ValueError("bands must divide n_perm")
+    r = n_perm // bands
+    toks = F.split(F.col(text_col), " ")
+    shingles = F.when(
+        F.size(toks) >= shingle_n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - shingle_n),
+            lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " "),
+        ),
+    ).otherwise(toks)
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(shingles)).alias("_sh"),
+    )
+    hashed = sh.select(
+        "_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("_p"),
+        "_sh",
+    ).select(
+        "_id", "_p",
+        F.substring(F.md5(F.concat(F.col("_p").cast("string"), F.lit("|"), F.col("_sh"))), 1, 16).alias("_h"),
+    )
+    sig = hashed.groupBy("_id", "_p").agg(F.min("_h").alias("_mh"))
+    banded = (
+        sig.withColumn("band", F.floor(F.col("_p") / F.lit(r)))
+        .groupBy("_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("_p", "_mh"))),
+                        lambda x: x["_mh"],
+                    ),
+                    ",",
+                )
+            ).alias("bhash")
+        )
+    )
+    left = banded.select(F.col("_id").alias("id_a"), "band", "bhash")
+    right = banded.select(F.col("_id").alias("id_b"), "band", "bhash")
+    cand = (
+        left.join(right, ["band", "bhash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact Jaccard on shingle sets, re-joined once per surviving pair
+    counts = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))  # sh is distinct
+    inter = (
+        cand.join(sh.select(F.col("_id").alias("id_a"), "_sh"), "id_a")
+        .join(sh.select(F.col("_id").alias("id_b"), "_sh"), ["id_b", "_sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    out = (
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .join(counts.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(counts.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.coalesce(F.col("_inter"), F.lit(0)).cast("double")
+             / (F.col("_na") + F.col("_nb") - F.coalesce(F.col("_inter"), F.lit(0)))
+             ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out

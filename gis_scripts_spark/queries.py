@@ -373,11 +373,52 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5
 
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates, exact-Jaccard verified (rows-only
-    driver check; recall vs the exact op asserted in pytest)."""
+    """MinHash-LSH near-dup candidates, exact-Jaccard verified — FULL
+    oracle since round 3: the md5 hash family + lexicographic-min
+    signatures + band hashes are rebuilt verbatim in DuckDB SQL
+    (dedup.minhash_lsh_pairs_sql — zero Python, pure codegen). The
+    blake2b 128-perm variant keeps its recall>=0.9 pytest."""
     docs = _pq(spark, sf_dir, "documents")
-    out = dedup.minhash_lsh_pairs(docs, n_perm=128, bands=32, shingle_n=3, threshold=0.5)
+    out = dedup.minhash_lsh_pairs_sql(docs, n_perm=64, bands=16, shingle_n=3, threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SQL_MINHASH = r"""
+WITH toks AS (
+  SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, sh FROM (
+    SELECT doc_id, array_to_string(tk[CAST(i AS INTEGER):CAST(i AS INTEGER)+2], ' ') AS sh
+    FROM toks, LATERAL (SELECT unnest(range(1, GREATEST(LEN(tk)-2, 0) + 1)) AS i)
+    WHERE LEN(tk) >= 3
+    UNION ALL
+    SELECT doc_id, unnest(tk) AS sh FROM toks WHERE LEN(tk) < 3)),
+hashed AS (
+  SELECT doc_id, p, substr(md5(CAST(p AS VARCHAR) || '|' || sh), 1, 16) AS h
+  FROM sh, LATERAL (SELECT unnest(range(0, 64)) AS p)),
+sig AS (SELECT doc_id, p, MIN(h) AS mh FROM hashed GROUP BY doc_id, p),
+banded AS (
+  SELECT doc_id, p // 4 AS band, md5(string_agg(mh, ',' ORDER BY p)) AS bhash
+  FROM sig GROUP BY doc_id, p // 4),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bhash = b.bhash AND a.doc_id < b.doc_id),
+cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS ni
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+  GROUP BY c.id_a, c.id_b)
+SELECT c.id_a, c.id_b,
+       ROUND(COALESCE(i.ni, 0) * 1.0 / (ca.n + cb.n - COALESCE(i.ni, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN cnt ca ON ca.doc_id = c.id_a
+JOIN cnt cb ON cb.doc_id = c.id_b
+WHERE COALESCE(i.ni, 0) * 1.0 / (ca.n + cb.n - COALESCE(i.ni, 0)) >= 0.5
+"""
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -994,13 +1035,13 @@ ORACLES: dict[str, str] = {
     "text_stats": SQL_TEXT_STATS,
     "embed_cosine_top3": SQL_EMBED_TOPK,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
+    "minhash_lsh_pairs": SQL_MINHASH,
     "simhash_pairs": SQL_SIMHASH,
     "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "zonal_agreement": SQL_ZONAL_AGREEMENT,
-    # minhash_lsh_pairs: engine-defined hashing (blake2b signatures) with
-    # no ANSI-SQL equivalent -> rows-only driver check; exactness/recall
-    # asserted in tests/test_dedup_text.py.
+    # every text/dedup query is now fully oracled; the blake2b 128-perm
+    # minhash variant remains as an operator with its recall pytest.
     # mosaic_composite / seamless_mosaic / reproject_utm / image_*: bytes
     # pipelines -> rows-only; pixel exactness proven by numpy oracles in
     # tests/ (test_mosaic.py, test_proj_warp.py, test_raster_ops.py).

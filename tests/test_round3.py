@@ -406,3 +406,49 @@ def test_rpc_warp_nearest_matches_numpy(spark):
     want[ok] = src[rr[ok], c[ok], 0]
     assert np.array_equal(img[:, :, 0].ravel().astype(np.float64), want)
     assert ok.sum() > 1000  # footprint actually covered
+
+
+# ------------------------------ band-level append (S9, global_match.py:204-285)
+def test_band_split_assemble_roundtrip(spark):
+    from gis_scripts_spark.raster import bands as bands_mod
+    from gis_scripts_spark.raster import codec as codec_mod
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(-2000, 2000, (16, 12, 3)).astype(np.int16)
+    df = spark.createDataFrame(pd.DataFrame([_typed_image("m0", px, 0.0, 0.0)]),
+                               schema=synth.IMAGE_SCHEMA)
+    rows = bands_mod.split_bands(df)
+    assert rows.count() == 3
+    back = bands_mod.assemble_bands(rows).toPandas()
+    img = codec_mod.decode(bytes(back.loc[0, "bytes"]), back.loc[0, "fmt"])
+    assert img.dtype == np.int16
+    assert np.array_equal(img, px)
+
+
+def test_band_append_idempotent_restart(spark, tmp_path):
+    """Per-band restart granularity: re-committing band 0 is a no-op;
+    band 1 lands in its own snapshot; assembly stacks both; a duplicate
+    band row keeps the LAST committed (update semantics)."""
+    from gis_scripts_spark.raster import bands as bands_mod
+    from gis_scripts_spark.sources import snaptable
+
+    table = str(tmp_path / "bands_tbl")
+    b0 = np.full((8, 8, 1), 10, np.int16)
+    b1 = np.full((8, 8, 1), 20, np.int16)
+    df0 = spark.createDataFrame(pd.DataFrame([_typed_image("im", b0, 0.0, 0.0)]),
+                                schema=synth.IMAGE_SCHEMA)
+    df1 = spark.createDataFrame(pd.DataFrame([_typed_image("im", b1, 0.0, 0.0)]),
+                                schema=synth.IMAGE_SCHEMA)
+    r0 = bands_mod.append_band_snapshot(bands_mod.split_bands(df0), table, 0)
+    r0b = bands_mod.append_band_snapshot(bands_mod.split_bands(df0), table, 0)
+    assert r0b["id"] == r0["id"]  # idempotent: stage already committed
+    from pyspark.sql import functions as F
+
+    rows1 = bands_mod.split_bands(df1).withColumn("band", F.lit(1))
+    bands_mod.append_band_snapshot(rows1, table, 1)
+    assert snaptable.completed_stages(table) == {"band:0", "band:1"}
+    out = bands_mod.read_assembled(spark, table).toPandas()
+    from gis_scripts_spark.raster import codec as codec_mod
+    img = codec_mod.decode(bytes(out.loc[0, "bytes"]), out.loc[0, "fmt"])
+    assert img.shape == (8, 8, 2)
+    assert (img[:, :, 0] == 10).all() and (img[:, :, 1] == 20).all()
