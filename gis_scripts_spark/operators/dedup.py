@@ -407,6 +407,19 @@ def cluster_pairs(pairs_pdf: pd.DataFrame, id_a: str = "id_a", id_b: str = "id_b
     return pd.DataFrame(rows, columns=["doc_id", "cluster_id"])
 
 
+MINHASH_SQL_PRIME = 67108859  # largest prime < 2^26: a*h < 2^52, exact in
+# both Spark LongType and DuckDB BIGINT (no overflow divergence)
+
+
+def minhash_sql_constants(n_perm: int = 64, seed: int = 101):
+    """The (a_p, b_p) affine-permutation constants, deterministic — the
+    SAME literals are embedded in the Spark plan and the DuckDB oracle."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MINHASH_SQL_PRIME, n_perm)
+    b = rng.integers(0, MINHASH_SQL_PRIME, n_perm)
+    return [int(x) for x in a], [int(x) for x in b]
+
+
 def minhash_lsh_pairs_sql(
     df: DataFrame,
     text_col: str = "text",
@@ -418,26 +431,29 @@ def minhash_lsh_pairs_sql(
 ) -> DataFrame:
     """Banded MinHash LSH with an SQL-portable hash family — ZERO Python in
     the plan (pure Column math, whole-stage codegen) and bit-reproducible
-    in ANSI SQL, which flips the driver row to a full oracle.
+    in ANSI SQL, which makes the driver row a full oracle.
 
-    Definition (mirrored verbatim by the DuckDB oracle):
-      shingle set  = DISTINCT word `shingle_n`-grams of text split on ' '
-                     (the tokens themselves when the doc is shorter)
-      h_i(s)       = substr(md5(i || '|' || s), 1, 16)   i in [0, n_perm)
-      sig_i        = lexicographic MIN over shingles (== numeric min for
-                     fixed-width lowercase hex)
-      band hash    = md5 of the band's sig values joined in perm order
-      candidates   = pairs sharing any (band, bhash), id_a < id_b
-      jaccard      = exact |A∩B|/|A∪B| on the shingle sets; keep >= threshold
+    Definition (mirrored verbatim by the DuckDB oracle, SQL_MINHASH):
+      shingle set = DISTINCT word `shingle_n`-grams (tokens themselves when
+                    the doc is shorter)
+      h(s)        = int(first 7 hex chars of md5(s)) mod P,  P = 67108859
+      sig_p       = MIN over shingles of (a_p*h + b_p) mod P   (affine
+                    permutations; constants from minhash_sql_constants —
+                    ONE md5 per shingle, the permutations are integer math)
+      band hash   = md5 of the band's sig values joined in perm order
+      candidates  = pairs sharing any (band, bhash), id_a < id_b
+      jaccard     = exact |A∩B|/|A∪B| on shingle sets; keep >= threshold
 
-    Scale shape: the perm explode carries (id, perm, 16-char hash) with
-    map-side MIN combine -> the sig shuffle is docs x n_perm rows; the
-    banded self-join carries (id, band, bhash) only; full shingle sets are
-    re-joined once per surviving candidate for the exact-Jaccard verify
-    (the ids-only discipline of minhash_lsh_pairs)."""
+    Scale shape: the signature is computed in ONE codegen expression per
+    document (collect_list of shingle hashes -> nested transform/array_min
+    — no per-permutation row explosion); the sig shuffle is docs rows; the
+    banded self-join carries (id, band, bhash) only; shingle sets re-join
+    once per surviving candidate for the exact-Jaccard verify."""
     if n_perm % bands != 0:
         raise ValueError("bands must divide n_perm")
     r = n_perm // bands
+    prime = MINHASH_SQL_PRIME
+    a_const, b_const = minhash_sql_constants(n_perm)
     toks = F.split(F.col(text_col), " ")
     shingles = F.when(
         F.size(toks) >= shingle_n,
@@ -450,30 +466,43 @@ def minhash_lsh_pairs_sql(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(shingles)).alias("_sh"),
     )
-    hashed = sh.select(
-        "_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("_p"),
-        "_sh",
-    ).select(
-        "_id", "_p",
-        F.substring(F.md5(F.concat(F.col("_p").cast("string"), F.lit("|"), F.col("_sh"))), 1, 16).alias("_h"),
+    # single-file sources arrive as ONE partition and AQE coalesces the
+    # tiny-by-bytes doc groups to one task even though the per-doc
+    # signature math (n_perm x shingles integer ops) is the heavy stage —
+    # an explicit numPartitions repartition is AQE-exempt and doubles as
+    # the groupBy pre-shuffle
+    sc = df.sparkSession.sparkContext
+    sh = sh.repartition(sc.defaultParallelism, "_id")
+    h = (F.conv(F.substring(F.md5("_sh"), 1, 7), 16, 10).cast("long") % prime).alias("_h")
+    hs = sh.select("_id", h).groupBy("_id").agg(F.collect_list("_h").alias("_hs"))
+    a_arr = F.array(*[F.lit(x) for x in a_const])
+    b_arr = F.array(*[F.lit(x) for x in b_const])
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_perm - 1)),
+        lambda p: F.array_min(
+            F.transform(
+                F.col("_hs"),
+                lambda x: (F.element_at(a_arr, p + F.lit(1)) * x
+                           + F.element_at(b_arr, p + F.lit(1))) % F.lit(prime),
+            )
+        ),
     )
-    sig = hashed.groupBy("_id", "_p").agg(F.min("_h").alias("_mh"))
-    banded = (
-        sig.withColumn("band", F.floor(F.col("_p") / F.lit(r)))
-        .groupBy("_id", "band")
-        .agg(
+    with_sig = hs.select("_id", sig.alias("_sig"))
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("_p", "_mh"))),
-                        lambda x: x["_mh"],
-                    ),
+                F.concat_ws(
                     ",",
+                    *[F.element_at("_sig", b * r + j + 1).cast("string") for j in range(r)],
                 )
-            ).alias("bhash")
+            ).alias("bhash"),
         )
-    )
+        for b in range(bands)
+    ])
+    banded = with_sig.select(
+        "_id", F.explode(band_structs).alias("_b")
+    ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bhash").alias("bhash"))
     left = banded.select(F.col("_id").alias("id_a"), "band", "bhash")
     right = banded.select(F.col("_id").alias("id_b"), "band", "bhash")
     cand = (

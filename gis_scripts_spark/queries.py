@@ -383,7 +383,10 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
-SQL_MINHASH = r"""
+def _sql_minhash() -> str:
+    a_const, b_const = dedup.minhash_sql_constants(64)
+    consts = ", ".join(f"({p}, {a}, {b})" for p, (a, b) in enumerate(zip(a_const, b_const)))
+    return rf"""
 WITH toks AS (
   SELECT doc_id, STRING_SPLIT(text, ' ') AS tk FROM documents),
 sh AS (
@@ -393,12 +396,17 @@ sh AS (
     WHERE LEN(tk) >= 3
     UNION ALL
     SELECT doc_id, unnest(tk) AS sh FROM toks WHERE LEN(tk) < 3)),
-hashed AS (
-  SELECT doc_id, p, substr(md5(CAST(p AS VARCHAR) || '|' || sh), 1, 16) AS h
-  FROM sh, LATERAL (SELECT unnest(range(0, 64)) AS p)),
-sig AS (SELECT doc_id, p, MIN(h) AS mh FROM hashed GROUP BY doc_id, p),
+hh AS (
+  SELECT doc_id, sh,
+         CAST(('0x' || substr(md5(sh), 1, 7)) AS BIGINT) % {dedup.MINHASH_SQL_PRIME} AS h
+  FROM sh),
+consts(p, a, b) AS (VALUES {consts}),
+sig AS (
+  SELECT doc_id, p, MIN((a * h + b) % {dedup.MINHASH_SQL_PRIME}) AS mh
+  FROM hh CROSS JOIN consts GROUP BY doc_id, p),
 banded AS (
-  SELECT doc_id, p // 4 AS band, md5(string_agg(mh, ',' ORDER BY p)) AS bhash
+  SELECT doc_id, p // 4 AS band,
+         md5(string_agg(CAST(mh AS VARCHAR), ',' ORDER BY p)) AS bhash
   FROM sig GROUP BY doc_id, p // 4),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -419,6 +427,9 @@ JOIN cnt ca ON ca.doc_id = c.id_a
 JOIN cnt cb ON cb.doc_id = c.id_b
 WHERE COALESCE(i.ni, 0) * 1.0 / (ca.n + cb.n - COALESCE(i.ni, 0)) >= 0.5
 """
+
+
+SQL_MINHASH = _sql_minhash()
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
