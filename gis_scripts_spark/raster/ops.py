@@ -72,20 +72,29 @@ def _transform_bytes(df: DataFrame, kernel, extra_cols: list[str] | None = None)
 # ------------------------------------------------------------- transforms
 def replace_value(df: DataFrame, find: int, replace: int) -> DataFrame:
     """np.where(img == find, replace, img) per band
-    (replace_raster_value.py:36)."""
+    (replace_raster_value.py:36). Source dtype preserved (a replace value
+    outside the dtype range raises rather than silently wrapping)."""
 
     def k(img, row):
-        return np.where(img == find, np.uint8(replace), img)
+        return np.where(img == find, _checked_cast(replace, img.dtype), img)
 
     return _transform_bytes(df, k)
 
 
+def _checked_cast(value, dtype: np.dtype):
+    out = np.asarray(value, dtype)
+    if float(out) != float(value):
+        raise ValueError(f"value {value} not representable in {dtype}")
+    return out
+
+
 def add_scalar(df: DataFrame, value: float, nodata: int | None = None) -> DataFrame:
-    """Clip-add a scalar to valid pixels, preserving the nodata sentinel
-    (add_value_to_raster.py:27-58)."""
+    """Add a scalar to valid pixels, clipped to the SOURCE dtype's range,
+    preserving the nodata sentinel (add_value_to_raster.py:27-58 — the
+    reference adds in the raster's own dtype)."""
 
     def k(img, row):
-        out = np.clip(img.astype(np.int32) + int(value), 0, 255).astype(np.uint8)
+        out = restore_dtype(img.astype(np.float64) + float(value), img.dtype)
         if nodata is not None:
             out = np.where(img == nodata, img, out)
         return out
@@ -221,7 +230,7 @@ def stretch_percentile(df: DataFrame, breakpoints: list[tuple[float, float]]) ->
             # np.interp needs increasing xs; collapse ties
             xs = np.maximum.accumulate(xs)
             out[:, :, b] = np.interp(f[:, :, b], xs, outs)
-        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+        return restore_dtype(out, img.dtype)
 
     return _transform_bytes(df, k)
 
@@ -388,7 +397,7 @@ def replace_connected(df: DataFrame, find: int, replace: int, min_size: int, con
         big = counts >= min_size
         kill = big[labels] & mask
         out = img.copy()
-        out[kill] = np.uint8(replace)
+        out[kill] = _checked_cast(replace, img.dtype)
         return out
 
     return _transform_bytes(df, k)
@@ -477,7 +486,7 @@ def smooth(df: DataFrame, sigma: float = 1.5, nodata: int | None = None) -> Data
             sm = np.where(den > 0, num / den, f)
         if nodata is not None:
             sm = np.where(img == nodata, img, sm)
-        return np.clip(np.rint(sm), 0, 255).astype(np.uint8)
+        return restore_dtype(sm, img.dtype)
 
     return _transform_bytes(df, k)
 

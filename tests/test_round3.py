@@ -452,3 +452,52 @@ def test_band_append_idempotent_restart(spark, tmp_path):
     img = codec_mod.decode(bytes(out.loc[0, "bytes"]), out.loc[0, "fmt"])
     assert img.shape == (8, 8, 2)
     assert (img[:, :, 0] == 10).all() and (img[:, :, 1] == 20).all()
+
+
+# ------------------- remaining kernels: dtype preservation sweep
+def test_simple_kernels_preserve_int16(spark):
+    from gis_scripts_spark.raster import codec as codec_mod
+    from gis_scripts_spark.raster import ops
+
+    rng = np.random.default_rng(4)
+    px = rng.integers(-500, 3000, (16, 16, 1)).astype(np.int16)
+    px[0:3, 0:3] = -9999
+    df = spark.createDataFrame(pd.DataFrame([_typed_image("k0", px, 0.0, 0.0)]),
+                               schema=synth.IMAGE_SCHEMA)
+
+    def decode_one(frame):
+        r = frame.toPandas().iloc[0]
+        return codec.decode(bytes(r["bytes"]), r["fmt"])
+
+    out = decode_one(ops.add_scalar(df, 500, nodata=-9999))
+    assert out.dtype == np.int16
+    assert (out[0:3, 0:3] == -9999).all()
+    want = np.clip(px.astype(np.float64) + 500, -32768, 32767).astype(np.int16)
+    want = np.where(px == -9999, px, want)
+    assert np.array_equal(out, want)
+
+    out = decode_one(ops.replace_value(df, -9999, 1234))
+    assert out.dtype == np.int16
+    assert (out[0:3, 0:3] == 1234).all()
+
+    out = decode_one(ops.smooth(df, sigma=1.0, nodata=-9999))
+    assert out.dtype == np.int16
+    assert (out[0:3, 0:3] == -9999).all()
+    assert out.max() > 255  # no uint8 crush
+
+
+def test_replace_value_unrepresentable_raises(spark):
+    from gis_scripts_spark.raster import codec as codec_mod
+    from gis_scripts_spark.raster import ops
+
+    px = np.zeros((4, 4, 1), np.uint8)
+    rows = [{
+        "image_id": "u0", "bytes": bytearray(codec.png_encode(px)), "w": 4, "h": 4,
+        "fmt": "png", "caption": "", "phash": 0, "lon": 0.0, "lat": 0.0,
+        "nodata": -1.0, "bands": 1,
+    }]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=synth.IMAGE_SCHEMA)
+    import pyspark.errors
+
+    with pytest.raises(Exception):  # 999 not representable in uint8
+        ops.replace_value(df, 0, 999).collect()
