@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "embed_cosine_top3",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
+    "dedup_clusters",
+    "las_ground_stats",
     "simhash_pairs",
     "text_quality",
     "text_fingerprint",

@@ -532,3 +532,50 @@ def minhash_lsh_pairs_sql(
         .filter(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def cluster_pairs_distributed(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iters: int = 25
+) -> DataFrame:
+    """Distributed connected components over near-dup pairs by iterative
+    min-label propagation — the 10^12-scale replacement for the
+    driver-side union-find finisher (cluster_pairs): each round every
+    node takes min(own label, neighbors' labels); fixpoint after
+    O(component diameter) rounds (near-dup clusters are shallow). One
+    equi-join + one groupBy per round, labels only in the shuffles.
+
+    Returns (doc_id, cluster_id = min member id of the component)."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().persist()
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).persist()
+    try:
+        for _ in range(max_iters):
+            neigh = (
+                edges.join(
+                    labels.select(F.col("id").alias("dst"), F.col("label").alias("nl")),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("nl").alias("nl"))
+                .select(F.col("src").alias("id"), "nl")
+            )
+            new_labels = labels.join(neigh, "id", "left").select(
+                "id", F.least("label", F.coalesce("nl", "label")).alias("label")
+            ).persist()
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist(False)
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+    finally:
+        edges.unpersist(False)

@@ -545,6 +545,70 @@ FROM lang l JOIN fp f ON l.doc_id = f.doc_id
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS — distributed min-label propagation over the
+    (fully oracled) minhash pairs, the 10^12-scale replacement for the
+    driver union-find finisher. FULL oracle: DuckDB rebuilds the same
+    components with a recursive transitive-closure CTE."""
+    docs = _pq(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs_sql(docs, n_perm=64, bands=16, shingle_n=3,
+                                        threshold=0.5)
+    return dedup.cluster_pairs_distributed(pairs).select("doc_id", "cluster_id")
+
+
+def _sql_dedup_clusters() -> str:
+    mh = _sql_minhash().strip()
+    return f"""
+WITH RECURSIVE pr AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({mh}) mh
+),
+edges AS (SELECT id_a AS s, id_b AS d FROM pr
+          UNION SELECT id_b, id_a FROM pr),
+reach AS (
+  SELECT s AS id, d AS r FROM edges
+  UNION
+  SELECT reach.id, e.d FROM reach JOIN edges e ON reach.r = e.s)
+SELECT id AS doc_id, LEAST(id, MIN(r)) AS cluster_id FROM reach GROUP BY id
+"""
+
+
+SQL_DEDUP_CLUSTERS = _sql_dedup_clusters()
+
+
+def q_las_ground_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAS point-cloud scan end-to-end (S5; rows-only — DuckDB cannot read
+    .las): a deterministic two-swath LAS 1.2 fixture is written once via
+    the engine's own sink (las.write_las), scanned distributed, and rolled
+    up per classification — the create_dem_tiles_from_array.py:224-241
+    ground-filter flow. Parse exactness vs an independent fixture writer
+    is proven in tests/test_las.py."""
+    import os
+
+    from gis_scripts_spark.sources import las as las_mod
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    d = f"/tmp/gss_las_{tag}"
+    if not os.path.exists(os.path.join(d, "swath_1.las")):
+        os.makedirs(d, exist_ok=True)
+        rng = np.random.default_rng(31)
+        n = 20000 if "0.1" in tag else 4000
+        xx = rng.uniform(0.0, 2.0, n)
+        yy = rng.uniform(0.0, 2.0, n)
+        zz = rng.uniform(0.0, 120.0, n)
+        cls = np.where(rng.uniform(size=n) < 0.55, 2, rng.integers(1, 7, n))
+        for part in range(2):
+            m = slice(part * n // 2, (part + 1) * n // 2)
+            las_mod.write_las(os.path.join(d, f"swath_{part}.las"),
+                              xx[m], yy[m], zz[m], cls[m])
+    pts = las_mod.read_las(spark, d + "/*.las")
+    return pts.groupBy("classification").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.avg("z"), 6).alias("mean_z"),
+        F.round(F.min("x"), 6).alias("min_x"),
+        F.round(F.max("y"), 6).alias("max_y"),
+    )
+
+
 def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 events by value per user — window/top-k semantics (§2.6)."""
     ev = _pq(spark, sf_dir, "events")
@@ -1011,6 +1075,8 @@ QUERIES: dict = {
     "embed_cosine_top3": q_embed_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "minhash_lsh_pairs": q_minhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "las_ground_stats": q_las_ground_stats,
     "simhash_pairs": q_simhash_pairs,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
@@ -1047,6 +1113,7 @@ ORACLES: dict[str, str] = {
     "embed_cosine_top3": SQL_EMBED_TOPK,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "minhash_lsh_pairs": SQL_MINHASH,
+    "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "simhash_pairs": SQL_SIMHASH,
     "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,

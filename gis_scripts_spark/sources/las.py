@@ -134,3 +134,44 @@ def read_las(spark: SparkSession, path_glob: str) -> DataFrame:
             )
 
     return files.mapInPandas(run, LAS_SCHEMA)
+
+
+def write_las(
+    path: str,
+    x: np.ndarray,
+    y: np.ndarray,
+    z: np.ndarray,
+    classification: np.ndarray,
+    intensity: np.ndarray | None = None,
+    scale: float = 0.001,
+    offset: tuple = (0.0, 0.0, 0.0),
+) -> None:
+    """Minimal LAS 1.2 point-format-0 writer (the sink analogue of the
+    scan; vectorized struct pack). Coordinates are quantized to
+    `scale`/`offset` per the spec."""
+    n = len(x)
+    rec_len = _FMT_SIZES[0]
+    hdr = bytearray(227)
+    hdr[0:4] = b"LASF"
+    hdr[24], hdr[25] = 1, 2
+    struct.pack_into("<H", hdr, 94, 227)
+    struct.pack_into("<I", hdr, 96, 227)
+    hdr[104] = 0
+    struct.pack_into("<H", hdr, 105, rec_len)
+    struct.pack_into("<I", hdr, 107, n)
+    struct.pack_into("<3d", hdr, 131, scale, scale, scale)
+    struct.pack_into("<3d", hdr, 155, *offset)
+    struct.pack_into("<6d", hdr, 179, float(np.max(x)), float(np.min(x)),
+                     float(np.max(y)), float(np.min(y)),
+                     float(np.max(z)), float(np.min(z)))
+    pts = np.zeros(n, _point_dtype(0, rec_len))
+    pts["X"] = np.round((np.asarray(x) - offset[0]) / scale).astype(np.int32)
+    pts["Y"] = np.round((np.asarray(y) - offset[1]) / scale).astype(np.int32)
+    pts["Z"] = np.round((np.asarray(z) - offset[2]) / scale).astype(np.int32)
+    pts["intensity"] = (np.zeros(n, np.uint16) if intensity is None
+                        else np.asarray(intensity, np.uint16))
+    pts["flags"] = 0b00001001  # return 1 of 1
+    pts["classification"] = np.asarray(classification, np.uint8)
+    pts["point_source_id"] = 1
+    with open(path, "wb") as f:
+        f.write(bytes(hdr) + pts.tobytes())

@@ -113,3 +113,26 @@ def test_token_stats_and_quality(spark):
     assert row["punct_ratio"] == 0.0
     assert row["stopword_hits"] >= 1
     assert row["quality_score"] >= 0.6
+
+
+def test_cluster_pairs_distributed_matches_union_find(spark):
+    """Min-label propagation == the driver union-find on a random graph
+    (chains, triangles, isolated pairs)."""
+    import pandas as pd
+
+    from gis_scripts_spark.operators import dedup
+
+    rng = np.random.default_rng(2)
+    edges = set()
+    for _ in range(60):
+        a, b = sorted(rng.integers(0, 50, 2).tolist())
+        if a != b:
+            edges.add((int(a), int(b)))
+    pdf = pd.DataFrame(sorted(edges), columns=["id_a", "id_b"])
+    want = dedup.cluster_pairs(pdf).sort_values("doc_id").reset_index(drop=True)
+    got = (
+        dedup.cluster_pairs_distributed(spark.createDataFrame(pdf))
+        .toPandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert (got["cluster_id"].to_numpy() == want["cluster_id"].to_numpy()).all()

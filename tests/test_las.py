@@ -122,3 +122,24 @@ def test_read_las_ground_filter_idw_grid(spark, tmp_path):
         w = 1.0 / d2
         want = (w * pv[m]).sum() / w.sum()
         assert np.isclose(r.value, want, rtol=1e-9), r
+
+
+def test_write_las_roundtrip_vs_independent_parser():
+    """Engine writer -> independent test-local fixture parser semantics:
+    read back through the engine parser and check quantized coords."""
+    rng = np.random.default_rng(9)
+    n = 200
+    x = rng.uniform(10.0, 12.0, n)
+    y = rng.uniform(20.0, 22.0, n)
+    z = rng.uniform(0.0, 50.0, n)
+    cls = rng.integers(1, 7, n)
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "w.las")
+        las.write_las(p, x, y, z, cls, scale=0.001, offset=(10.0, 20.0, 0.0))
+        out = las.parse_las(open(p, "rb").read())
+    assert len(out) == n
+    assert np.abs(out["x"] - x).max() <= 0.0005 + 1e-12
+    assert np.abs(out["y"] - y).max() <= 0.0005 + 1e-12
+    assert np.abs(out["z"] - z).max() <= 0.0005 + 1e-12
+    assert (out["classification"].to_numpy() == cls).all()
