@@ -576,6 +576,18 @@ def cluster_pairs_distributed(
             labels = new_labels
             if changed == 0:
                 break
-        return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+        out = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+        # release the final labels cache with the returned DataFrame (the
+        # knn/minhash finalizer discipline — no leaked persists)
+        import weakref
+
+        def _release(h=labels):
+            try:
+                h.unpersist(False)
+            except Exception:
+                pass  # session already stopped
+
+        weakref.finalize(out, _release)
+        return out
     finally:
         edges.unpersist(False)
