@@ -69,20 +69,32 @@ def patch_features(images: DataFrame, patch: int = 8, nodata_col: str | None = N
                     v = row[nodata_col]
                     nd = float(v) if v is not None and not pd.isna(v) else None
                 h, w, nb = img.shape
-                for y0 in range(0, h - patch + 1, patch):
-                    for x0 in range(0, w - patch + 1, patch):
-                        win = img[y0 : y0 + patch, x0 : x0 + patch]
-                        feats = []
-                        for b in range(nb):
-                            v2 = win[:, :, b].ravel()
-                            if nd is not None:
-                                v2 = v2[v2 != nd]
-                            if v2.size == 0:
-                                feats += [0.0, 0.0, 0.0, 0.0]
-                            else:
-                                feats += [float(v2.mean()), float(v2.std()),
-                                          float(v2.min()), float(v2.max())]
-                        rows.append((row["image_id"], y0 // patch, x0 // patch, feats))
+                py, px = h // patch, w // patch
+                if py == 0 or px == 0:
+                    continue
+                # vectorized per-patch stats: (py, px, nb, patch*patch)
+                win = (
+                    img[: py * patch, : px * patch]
+                    .reshape(py, patch, px, patch, nb)
+                    .transpose(0, 2, 4, 1, 3)
+                    .reshape(py, px, nb, patch * patch)
+                )
+                mask = (win != nd) if nd is not None else np.ones(win.shape, bool)
+                cnt = mask.sum(axis=-1)
+                ok = cnt > 0
+                safe = np.maximum(cnt, 1)
+                mean = np.where(mask, win, 0.0).sum(axis=-1) / safe
+                var = (np.where(mask, win - mean[..., None], 0.0) ** 2).sum(axis=-1) / safe
+                std = np.sqrt(var)
+                mn = np.where(mask, win, np.inf).min(axis=-1)
+                mx = np.where(mask, win, -np.inf).max(axis=-1)
+                feats = np.stack(
+                    [np.where(ok, mean, 0.0), np.where(ok, std, 0.0),
+                     np.where(ok, mn, 0.0), np.where(ok, mx, 0.0)], axis=-1
+                ).reshape(py, px, nb * 4)
+                for yy in range(py):
+                    for xx in range(px):
+                        rows.append((row["image_id"], yy, xx, feats[yy, xx].tolist()))
             yield pd.DataFrame(rows, columns=[f.name for f in PATCH_SCHEMA.fields])
 
     return images.select(*sel).mapInPandas(run, PATCH_SCHEMA)

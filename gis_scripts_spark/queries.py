@@ -596,10 +596,13 @@ def q_las_ground_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         yy = rng.uniform(0.0, 2.0, n)
         zz = rng.uniform(0.0, 120.0, n)
         cls = np.where(rng.uniform(size=n) < 0.55, 2, rng.integers(1, 7, n))
+        import uuid as _uuid
+
         for part in range(2):
             m = slice(part * n // 2, (part + 1) * n // 2)
-            las_mod.write_las(os.path.join(d, f"swath_{part}.las"),
-                              xx[m], yy[m], zz[m], cls[m])
+            tmp = os.path.join(d, f".swath_{part}.{_uuid.uuid4().hex}.tmp")
+            las_mod.write_las(tmp, xx[m], yy[m], zz[m], cls[m])
+            os.replace(tmp, os.path.join(d, f"swath_{part}.las"))  # atomic
     pts = las_mod.read_las(spark, d + "/*.las")
     return pts.groupBy("classification").agg(
         F.count(F.lit(1)).alias("n_points"),
