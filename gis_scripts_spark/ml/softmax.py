@@ -42,6 +42,7 @@ from pyspark.sql.types import (
 )
 
 from gis_scripts_spark.raster import codec
+from gis_scripts_spark.raster import ops
 
 PATCH_SCHEMA = StructType(
     [
@@ -64,10 +65,7 @@ def patch_features(images: DataFrame, patch: int = 8, nodata_col: str | None = N
             rows = []
             for _, row in pdf.iterrows():
                 img = codec.decode(bytes(row["bytes"]), row["fmt"]).astype(np.float64)
-                nd = None
-                if nodata_col is not None:
-                    v = row[nodata_col]
-                    nd = float(v) if v is not None and not pd.isna(v) else None
+                nd = ops.nodata_of(row, nodata_col)
                 h, w, nb = img.shape
                 py, px = h // patch, w // patch
                 if py == 0 or px == 0:
@@ -154,7 +152,11 @@ def train_softmax(
     base = train_df.select(
         F.col(feature_col).alias("features"), F.col(label_col).alias("label")
     ).persist()
-    d = len(base.first()["features"])
+    first = base.first()
+    if first is None:
+        base.unpersist(False)
+        raise ValueError("empty training set")
+    d = len(first["features"])
     k = len(class_names)
     w = np.zeros((k, d + 1))
     losses = []

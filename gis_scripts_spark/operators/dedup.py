@@ -576,6 +576,11 @@ def cluster_pairs_distributed(
             labels = new_labels
             if changed == 0:
                 break
+        else:
+            raise RuntimeError(
+                f"cluster_pairs_distributed did not converge in {max_iters} "
+                "rounds (component diameter exceeds max_iters) — raise "
+                "max_iters; returning partial labels would be silently wrong")
         out = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
         # release the final labels cache with the returned DataFrame (the
         # knn/minhash finalizer discipline — no leaked persists)

@@ -105,28 +105,35 @@ def mosaic_composite(
         pdf = pdf.sort_values(["_ord", "image_id"], kind="mergesort")
         if order == "last":
             pdf = pdf.iloc[::-1]  # highest priority first; first writer wins
-        srcs = [(row, codec.decode(bytes(row["bytes"]), row["fmt"]))
-                for _, row in pdf.iterrows()]
-        if not srcs:
+        rows_list = list(pdf.iterrows())
+        if not rows_list:
             return pd.DataFrame({f.name: [] for f in COMPOSITE_SCHEMA.fields})
         # canvas dtype: promoted over ALL sources in the group
         # (np.result_type) — a later int16 source into a uint8 canvas would
         # otherwise silently truncate (the reference treats mixed band
         # dtypes as an error: temp/resample_and_merge_rasters.ipynb warning)
-        # — widened further only when the fill sentinel doesn't fit
-        dt = np.result_type(*[im.dtype for _, im in srcs])
+        # — widened further only when the fill sentinel doesn't fit.
+        # Dtypes come from a HEADER-ONLY probe so only ONE image is ever
+        # decoded at a time (deep source stacks stay at 1x peak memory).
+        dt = np.result_type(*[codec.probe_dtype(bytes(row["bytes"]), row["fmt"])
+                              for _, row in rows_list])
         fv = float(fill_value)
         if np.issubdtype(dt, np.integer):
             if not (fv.is_integer() and np.iinfo(dt).min <= fv <= np.iinfo(dt).max):
                 dt = np.result_type(dt, np.int32 if fv.is_integer() else np.float32)
-        nbands = srcs[0][1].shape[2]  # band count: first-priority source
-        canvas = np.full((tile_px, tile_px, nbands), fill_value, dtype=dt)
-        # PER-BAND written mask: a pixel that is nodata in band 0 but valid
-        # in band 1 paints only band 1 (per-band nodata rule, like
-        # gdal_merge/rasterio handle masks band-wise)
-        written = np.zeros((tile_px, tile_px, nbands), bool)
+        canvas = None
+        written = None
+        nbands = 0
         n_src = 0
-        for row, img in srcs:
+        for _, row in rows_list:
+            img = codec.decode(bytes(row["bytes"]), row["fmt"])
+            if canvas is None:
+                nbands = img.shape[2]  # band count: first-priority source
+                canvas = np.full((tile_px, tile_px, nbands), fill_value, dtype=dt)
+                # PER-BAND written mask: a pixel that is nodata in band 0
+                # but valid in band 1 paints only band 1 (per-band nodata
+                # rule, like gdal_merge/rasterio handle masks band-wise)
+                written = np.zeros((tile_px, tile_px, nbands), bool)
             # image window inside this tile
             ix0 = max(int(row["_px0"]), ox)
             ix1 = min(int(row["_px0"]) + int(row["w"]), ox + tile_px)
@@ -141,7 +148,9 @@ def mosaic_composite(
             dst_c = slice(ix0 - ox, ix1 - ox)
             nb = min(src.shape[2], nbands)
             nd = row["_nd"]
-            if nd is not None and not pd.isna(nd):
+            if nd is not None and not pd.isna(nd) and float(np.asarray(nd, src.dtype)) == float(nd):
+                # representable sentinel only: casting e.g. -9999 into uint8
+                # wraps to 241 and would falsely invalidate valid pixels
                 valid = src[:, :, :nb] != np.asarray(nd, src.dtype)
             else:
                 valid = np.ones((src.shape[0], src.shape[1], nb), bool)
@@ -149,7 +158,7 @@ def mosaic_composite(
             region = canvas[dst_r, dst_c]  # view — writes through
             region[..., :nb][free] = src[:, :, :nb][free].astype(dt, copy=False)
             written[dst_r, dst_c, :nb] |= free
-        if not written.any():
+        if written is None or not written.any():
             return pd.DataFrame({f.name: [] for f in COMPOSITE_SCHEMA.fields})
         return pd.DataFrame(
             [

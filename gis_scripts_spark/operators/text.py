@@ -140,8 +140,11 @@ def md5_fingerprints(
     length (the standard shingle expansion), and the min-agg combines
     map-side, so shuffle volume is one row per document."""
     w = window
+    # explicit whitespace class: Java \s and RE2 \s disagree on \x0B, and
+    # the DuckDB oracle must normalize identically
     norm = F.substring(
-        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")), 1, max_chars
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), "[ \\t\\n\\f\\r\\x0B]+", " ")),
+        1, max_chars,
     )
     base = df.select(F.col(id_col), norm.alias("_norm"), F.length(norm).alias("_n"))
     grams = base.select(

@@ -519,7 +519,7 @@ def _sql_lang_hits(lang: str) -> str:
 SQL_TEXT_FINGERPRINT = rf"""
 WITH nrm AS (
   SELECT doc_id,
-         substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), 1, 4096) AS nm
+         substr(trim(regexp_replace(lower(text), '[ \t\n\f\r\x0B]+', ' ', 'g')), 1, 4096) AS nm
   FROM documents),
 grams AS (
   SELECT doc_id,

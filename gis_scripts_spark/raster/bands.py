@@ -62,14 +62,25 @@ def split_bands(images: DataFrame) -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(run, BAND_ROW_SCHEMA)
 
 
-def assemble_bands(band_rows: DataFrame) -> DataFrame:
+def assemble_bands(band_rows: DataFrame, seq_col: str | None = None) -> DataFrame:
     """(image_id, band, bytes) rows -> multi-band image rows (bands stacked
-    in band order; duplicate band rows keep the LAST committed — the
-    reference's update-in-place semantics). One groupBy on image_id: the
-    single shuffle this layout pays, linear in data."""
+    in band order). Duplicate band rows: keep the row with the greatest
+    `seq_col` (the reference's update-in-place semantics — read_assembled
+    passes the snapshot chain position, so "last COMMITTED wins" is
+    deterministic, not shuffle-arrival order). Without a seq column,
+    duplicates are an error — there is no deterministic way to pick.
+    One groupBy on image_id: the single shuffle this layout pays."""
 
     def merge(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("band").drop_duplicates("band", keep="last")
+        if seq_col is not None:
+            pdf = pdf.sort_values(["band", seq_col], kind="mergesort")
+        else:
+            pdf = pdf.sort_values("band", kind="mergesort")
+            if pdf["band"].duplicated().any():
+                raise ValueError(
+                    f"duplicate band rows for image {key[0]} with no seq_col — "
+                    "pass seq_col (read_assembled does) for last-commit-wins")
+        pdf = pdf.drop_duplicates("band", keep="last")
         bands = [codec.decode(bytes(r["bytes"]), r["fmt"])[:, :, 0]
                  for _, r in pdf.iterrows()]
         img = np.stack(bands, axis=2)
@@ -100,5 +111,18 @@ def append_band_snapshot(band_df: DataFrame, table: str, band: int) -> dict:
 
 
 def read_assembled(spark: SparkSession, table: str) -> DataFrame:
-    """Read every committed band snapshot and assemble multi-band images."""
-    return assemble_bands(snaptable.read_snapshot(spark, table))
+    """Read every committed band snapshot and assemble multi-band images.
+    Each snapshot's rows are tagged with the snapshot's position in the
+    commit chain so a re-committed band resolves to the LAST COMMITTED
+    payload deterministically (snapshot ids are monotonic)."""
+    snaps = sorted(snaptable.snapshots(table), key=lambda s: s["id"])
+    if not snaps:
+        raise FileNotFoundError(f"no snapshots in {table}")
+    parts = [
+        spark.read.parquet(s["path"]).withColumn("_commit_seq", F.lit(i))
+        for i, s in enumerate(snaps)
+    ]
+    allb = parts[0]
+    for p in parts[1:]:
+        allb = allb.unionByName(p)
+    return assemble_bands(allb, seq_col="_commit_seq")

@@ -263,3 +263,26 @@ def _area_resize32(img: np.ndarray) -> np.ndarray:
     ry = np.floor(np.arange(32) * h / 32).astype(np.int64)
     rx = np.floor(np.arange(32) * w / 32).astype(np.int64)
     return img[np.ix_(ry, rx)]
+
+
+def probe_dtype(buf: bytes, fmt: str | None = None) -> np.dtype:
+    """Dtype of the encoded image from its HEADER only — no pixel decode.
+    Lets group kernels (mosaic dtype promotion) inspect every source
+    cheaply and decode one image at a time."""
+    head = bytes(buf[:16])
+    if fmt == "png" or head.startswith(_PNG_SIG[:4]):
+        return np.dtype(np.uint8)
+    if fmt == "qnt" or head.startswith(_QNT_MAGIC):
+        return np.dtype(np.uint8)
+    if fmt == "raw" or head.startswith(_RAW_MAGIC):
+        return _RAW_DTYPES[head[4]]
+    if fmt in ("tif", "tiff", "gtiff") or head[:2] in (b"II", b"MM"):
+        from gis_scripts_spark.raster import geotiff
+        import struct as _struct
+
+        bo = "<" if head[:2] == b"II" else ">"
+        t = geotiff._read_ifd(bytes(buf), bo)
+        bits = int(t.get(geotiff.TAG_BITS, [8])[0])
+        sfmt = int(t.get(geotiff.TAG_SAMPLE_FORMAT, [1])[0])
+        return np.dtype({1: "u", 2: "i", 3: "f"}.get(sfmt, "u") + str(bits // 8))
+    raise ValueError("unknown image format")

@@ -73,10 +73,7 @@ def tile_stats(images: DataFrame, z: int = 12, nodata_col: str | None = None) ->
             out_img, out_band, out_cell, out_sum, out_cnt = [], [], [], [], []
             for _, row in pdf.iterrows():
                 img = codec.decode(bytes(row["bytes"]), row["fmt"]).astype(np.float64)
-                nd = None
-                if nodata_col is not None:
-                    v = row[nodata_col]
-                    nd = float(v) if v is not None and not pd.isna(v) else None
+                nd = ops_mod.nodata_of(row, nodata_col)
                 h, w, nb = img.shape
                 pc = _pixel_cells(row["lon"], row["lat"], h, w, z).ravel()
                 uniq, inv = np.unique(pc, return_inverse=True)
@@ -200,10 +197,7 @@ def local_match(
                 # floats, `scale` overrides (ops.gamma_scale rule)
                 s = ops_mod.gamma_scale(src_dtype, scale)
                 img = raw.astype(np.float64)
-                nd = None
-                if nodata_col is not None:
-                    v = row[nodata_col]
-                    nd = float(v) if v is not None and not pd.isna(v) else None
+                nd = ops_mod.nodata_of(row, nodata_col)
                 h, w, nb = img.shape
                 # fractional GLOBAL tile coords of each pixel center
                 xs = row["lon"] + (np.arange(w) + 0.5) * RES_DEG

@@ -36,6 +36,7 @@ from pyspark.sql.types import (
 
 from gis_scripts_spark.operators import overlap_join
 from gis_scripts_spark.raster import codec
+from gis_scripts_spark.raster import ops as ops_mod
 
 RES_DEG = 0.001  # degrees per pixel of the synthetic footprint model
 
@@ -127,10 +128,7 @@ def overlap_pair_stats(images: DataFrame, z: int = 10, nodata_col: str | None = 
             rows = []
             for _, row in pdf.iterrows():
                 img = codec.decode(bytes(row["bytes"]), row["fmt"]).astype(np.float64)
-                nodata = None
-                if nodata_col is not None:
-                    v = row[nodata_col]
-                    nodata = float(v) if v is not None and not pd.isna(v) else None
+                nodata = ops_mod.nodata_of(row, nodata_col)
                 for wrec in row["_wins"]:
                     win = _window(img, row["lon"], row["lat"], int(row["h"]),
                                   wrec["ix_min"], wrec["iy_min"], wrec["ix_max"], wrec["iy_max"])
@@ -200,8 +198,7 @@ def overlap_pair_stats_joint(
             rows = []
             for _, row in pdf.iterrows():
                 img = codec.decode(bytes(row["bytes"]), row["fmt"]).astype(np.float32)
-                nd = row[nodata_col]
-                nd = float(nd) if nd is not None and not pd.isna(nd) else None
+                nd = ops_mod.nodata_of(row, nodata_col)
                 for wrec in row["_wins"]:
                     win = _window(img, row["lon"], row["lat"], int(row["h"]),
                                   wrec["ix_min"], wrec["iy_min"], wrec["ix_max"], wrec["iy_max"])
@@ -302,7 +299,11 @@ def solve_gains(
             rows.append(row)
             targets.append(0.0)
             weights.append(w_s)
-        pjj = total_px / (2.0 * n) if n else 1.0
+        # zero total overlap (all pairs fully masked) -> anchors-only with
+        # unit weight: every image gets the identity a=1, b=0 (matching
+        # solve_gains_normal; pjj=0 would zero every weighted row and lstsq
+        # would return the min-norm a=0 "black image" solution)
+        pjj = total_px / (2.0 * n) if (n and total_px > 0) else 1.0
         for im, i in idx.items():
             row = np.zeros(2 * n)
             row[2 * i] = 1.0

@@ -167,8 +167,11 @@ def apply_linear(df: DataFrame, params: DataFrame, nodata_col: str | None = None
                             out[:, :, b_idx] = adj
                     img = restore_dtype(out, src.dtype)
                     if nd is not None:
-                        # integer clip must never eat the sentinel itself
-                        img = np.where(src == np.asarray(nd, src.dtype), src, img)
+                        # integer clip must never eat the sentinel itself;
+                        # compare in FLOAT — casting an out-of-range sentinel
+                        # into src.dtype wraps (uint8(-9999) == 241) and would
+                        # alias a valid pixel value
+                        img = np.where(src.astype(np.float64) == nd, src, img)
                 out_bytes.append(bytearray(codec.encode(img, row["fmt"])))
             pdf = pdf.copy()
             pdf["bytes"] = out_bytes

@@ -26,6 +26,7 @@ from pyspark.sql.types import (
 
 from gis_scripts_spark.index import proj
 from gis_scripts_spark.raster import codec
+from gis_scripts_spark.raster import ops as ops_mod
 from gis_scripts_spark.raster.match import RES_DEG
 
 WARP_SCHEMA = StructType(
@@ -162,10 +163,7 @@ def reproject_raster(
             rows = []
             for _, row in pdf.iterrows():
                 img = codec.decode(bytes(row["bytes"]), row["fmt"])
-                nd = None
-                if nodata_col is not None:
-                    v = row[nodata_col]
-                    nd = float(v) if v is not None and not pd.isna(v) else None
+                nd = ops_mod.nodata_of(row, nodata_col)
                 warped, x0, y1 = _warp_one(
                     img, float(row["lon"]), float(row["lat"]), crs, res_m, nd, method
                 )
@@ -211,10 +209,7 @@ def reproject_raster_rpc(
             rows = []
             for _, row in pdf.iterrows():
                 img = codec.decode(bytes(row["bytes"]), row["fmt"])
-                nd = None
-                if nodata_col is not None:
-                    v = row[nodata_col]
-                    nd = float(v) if v is not None and not pd.isna(v) else None
+                nd = ops_mod.nodata_of(row, nodata_col)
                 rpc = proj.rpc_unpack(np.asarray(row[rpc_col], np.float64))
                 warped, x0, y1 = _warp_one_rpc(img, rpc, res_deg, height, nd, method)
                 rows.append(

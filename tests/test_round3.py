@@ -501,3 +501,43 @@ def test_replace_value_unrepresentable_raises(spark):
 
     with pytest.raises(Exception):  # 999 not representable in uint8
         ops.replace_value(df, 0, 999).collect()
+
+
+# --------------- out-of-range sentinel must never alias a valid pixel
+def test_uint8_with_unrepresentable_sentinel_no_aliasing(spark):
+    """nodata=-9999 on a uint8 image: uint8(-9999) wraps to 241, which
+    must NOT be treated as the sentinel — every pixel (incl. 241) is
+    valid, adjusted by apply_linear, and painted by mosaic_composite."""
+    from gis_scripts_spark.operators import mosaic as mosaic_mod
+    from gis_scripts_spark.raster import codec as codec_mod
+    from gis_scripts_spark.raster import ops
+
+    px = np.full((8, 8, 1), 241, np.uint8)  # the wrap-aliased value
+    rows = [{
+        "image_id": "a0", "bytes": bytearray(codec_mod.png_encode(px)),
+        "w": 8, "h": 8, "fmt": "png", "caption": "", "phash": 0,
+        "lon": 0.0, "lat": 0.0, "nodata": -9999.0, "bands": 1,
+    }]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=synth.IMAGE_SCHEMA)
+    params = spark.createDataFrame(pd.DataFrame(
+        [{"image_id": "a0", "band": 0, "a": 0.5, "b": 0.0}]))
+    out = ops.apply_linear(df, params, nodata_col="nodata").toPandas()
+    img = codec_mod.decode(bytes(out.loc[0, "bytes"]), out.loc[0, "fmt"])
+    assert (img == 120).all(), "241 aliased as sentinel — gains not applied"
+
+    tiles = mosaic_mod.mosaic_composite(df, tile_px=8, order="last",
+                                        nodata_col="nodata", fill_value=0.0).toPandas()
+    timg = codec_mod.raw_decode(bytes(tiles.loc[0, "bytes"]))
+    assert (timg[:, :, 0] == 241).all(), "241 treated as nodata in mosaic"
+
+
+def test_cluster_pairs_nonconvergence_raises(spark):
+    import pandas as pd
+
+    from gis_scripts_spark.operators import dedup
+
+    chain = pd.DataFrame({"id_a": list(range(6)), "id_b": list(range(1, 7))})
+    with pytest.raises(RuntimeError):
+        dedup.cluster_pairs_distributed(spark.createDataFrame(chain), max_iters=2)
+    ok = dedup.cluster_pairs_distributed(spark.createDataFrame(chain), max_iters=10).toPandas()
+    assert (ok["cluster_id"] == 0).all()
