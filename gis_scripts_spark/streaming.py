@@ -67,3 +67,82 @@ def run_incremental(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_exact_dedup(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    watermark_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep only the FIRST document per content
+    hash across micro-batches — Spark's stateful streaming
+    `dropDuplicates` keyed by md5(text) (state backed by the checkpoint
+    store, so dedup survives restarts). With `watermark_col` the state is
+    bounded (older-than-watermark keys expire — the production setting for
+    unbounded corpora); without it the state grows with distinct content,
+    the fair default for bounded backfills."""
+    hashed = docs_stream.withColumn("_text_md5", F.md5(F.col(text_col)))
+    if watermark_col is not None:
+        hashed = hashed.withWatermark(watermark_col, watermark)
+        return hashed.dropDuplicates(["_text_md5", watermark_col])
+    return hashed.dropDuplicates(["_text_md5"])
+
+
+def stream_running_zonal_counts(joined: DataFrame) -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): a
+    running per-polygon image counter with first/last image ids,
+    maintained across micro-batches (append-mode emission) — the streaming analogue of the
+    zonal rollup (the reference recomputes zonal tables per batch run;
+    this keeps them warm incrementally).
+
+    State per poly_id: (n_images, first_image, last_image). Emits one
+    updated row per polygon per micro-batch that touched it."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("poly_id", StringType(), False),
+            StructField("n_images", LongType(), False),
+            StructField("first_image", StringType(), True),
+            StructField("last_image", StringType(), True),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("n", LongType(), False),
+            StructField("first_image", StringType(), True),
+            StructField("last_image", StringType(), True),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, first, last = (state.get if state.exists else (0, None, None))
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            ids = sorted(pdf["image_id"].astype(str))
+            n += len(ids)
+            first = ids[0] if first is None else min(first, ids[0])
+            last = ids[-1] if last is None else max(last, ids[-1])
+        state.update((n, first, last))
+        yield pd.DataFrame(
+            [{"poly_id": key[0], "n_images": n,
+              "first_image": first, "last_image": last}]
+        )
+
+    # "append" operator mode: each micro-batch APPENDS one updated row per
+    # touched polygon (file sinks don't accept update mode); readers take
+    # the max-n row per polygon for the current totals
+    return joined.groupBy("poly_id").applyInPandasWithState(
+        update, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -54,3 +54,84 @@ def test_incremental_stream_matches_batch(spark, tmp_path):
         map(tuple, spark.read.parquet(sink).select("image_id", "poly_id").collect())
     )
     assert got2 == want2  # incremental append, no duplicates, nothing missed
+
+
+def test_stream_exact_dedup(spark, tmp_path):
+    """Stateful streaming dedup: a duplicate arriving in a LATER
+    micro-batch is dropped (state persists across batches via the
+    checkpoint store)."""
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    src = str(tmp_path / "docs_src")
+    sink = str(tmp_path / "docs_sink")
+    ckpt = str(tmp_path / "docs_ckpt")
+    os.makedirs(src)
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), False),
+    ])
+
+    def run_pass():
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+        deduped = streaming.stream_exact_dedup(stream)
+        q = (deduped.select("doc_id", "text").writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).outputMode("append").start())
+        q.awaitTermination()
+
+    spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["aaa", "bbb", "aaa"]}), schema=schema
+    ).write.parquet(os.path.join(src, "b1"))
+    run_pass()
+    got1 = spark.read.parquet(sink).toPandas()
+    assert sorted(got1["text"]) == ["aaa", "bbb"]  # in-batch dup dropped
+
+    # batch 2: one cross-batch duplicate + one new doc
+    spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [4, 5], "text": ["bbb", "ccc"]}), schema=schema
+    ).write.parquet(os.path.join(src, "b2"))
+    run_pass()
+    got2 = spark.read.parquet(sink).toPandas()
+    assert sorted(got2["text"]) == ["aaa", "bbb", "ccc"]  # 'bbb' dropped by state
+
+
+def test_stream_running_zonal_counts(spark, tmp_path):
+    """applyInPandasWithState running zonal counter: counts accumulate
+    across micro-batches per polygon."""
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    src = str(tmp_path / "z_src")
+    sink = str(tmp_path / "z_sink")
+    ckpt = str(tmp_path / "z_ckpt")
+    os.makedirs(src)
+    schema = StructType([
+        StructField("image_id", StringType(), False),
+        StructField("poly_id", StringType(), False),
+    ])
+
+    def run_pass():
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+        counts = streaming.stream_running_zonal_counts(stream)
+        q = (counts.writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).outputMode("append").start())
+        q.awaitTermination()
+
+    spark.createDataFrame(pd.DataFrame({
+        "image_id": ["i1", "i2", "i3"], "poly_id": ["pA", "pA", "pB"],
+    }), schema=schema).write.parquet(os.path.join(src, "b1"))
+    run_pass()
+    spark.createDataFrame(pd.DataFrame({
+        "image_id": ["i4", "i0"], "poly_id": ["pA", "pB"],
+    }), schema=schema).write.parquet(os.path.join(src, "b2"))
+    run_pass()
+    got = spark.read.parquet(sink).toPandas()
+    # latest emitted row per polygon carries the RUNNING totals
+    last = got.sort_values("n_images").groupby("poly_id").last()
+    assert last.loc["pA", "n_images"] == 3
+    assert last.loc["pB", "n_images"] == 2
+    assert last.loc["pA", "first_image"] == "i1"
+    assert last.loc["pA", "last_image"] == "i4"
+    assert last.loc["pB", "first_image"] == "i0"
