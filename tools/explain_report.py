@@ -26,6 +26,10 @@ PLAN_QUERIES = [
     "bbox_overlap_pairs",
     "mosaic_last_wins",
     "ngram_jaccard_pairs",
+    "coverage_join",
+    "minhash_lsh_pairs",
+    "text_fingerprint",
+    "dedup_clusters",
 ]
 
 
