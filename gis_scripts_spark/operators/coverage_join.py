@@ -62,7 +62,8 @@ def coverage_join(
     wkb_col: str = "wkb",
     rect_id: str = "aoi_id",
     min_coverage: float = 0.0,
-    broadcast_candidates: bool = True,
+    broadcast_candidates: bool | str = "auto",
+    max_broadcast_candidates: int = 2_000_000,
 ) -> DataFrame:
     """(fp_id, rect_id, coverage) for every footprint×AOI pair with
     coverage > min_coverage. rects_df: (rect_id, x_min, y_min, x_max,
@@ -71,11 +72,18 @@ def coverage_join(
     Shuffle hygiene (the minhash ids-only discipline): the cell explode and
     the candidate dedup carry (id, cell) / (id, rect, bbox) ONLY — polygon
     WKB never rides an Exchange. The WKB is re-joined ONCE per surviving
-    candidate: with `broadcast_candidates` (default — candidate rows are
-    ~48 bytes of ids+bbox) the join is map-side on the footprint scan, so
-    no Exchange in the whole plan contains wkb; at 10^7+ surviving
-    candidates set it False and the re-join degrades to ONE linear shuffle
-    of each matched footprint's WKB."""
+    candidate: when the candidate set is broadcast (rows are ~48 bytes of
+    ids+bbox) the join is map-side on the footprint scan, so no Exchange in
+    the whole plan contains wkb; otherwise the re-join degrades to ONE
+    linear shuffle of each matched footprint's WKB.
+
+    `broadcast_candidates="auto"` (default) is the safety valve the r3
+    advice asked for: an unconditional F.broadcast hint bypasses
+    autoBroadcastJoinThreshold and would OOM the driver on a huge
+    candidate set. Auto persists the (tiny-schema) candidate frame, counts
+    it, and broadcasts ONLY when count <= max_broadcast_candidates —
+    the count reuses the cached frame, so the cover UDF still runs once.
+    Pass True/False to force either plan shape explicitly."""
     cov = _cover_wkb_udf(z)
     fp_src = footprints_df.select(
         F.col(fp_id).alias("_fid"), F.col(wkb_col).alias("_wkb")
@@ -126,13 +134,31 @@ def coverage_join(
         .select("_fid", "_rid", "x_min", "y_min", "x_max", "y_max")
         .dropDuplicates(["_fid", "_rid"])  # ids+bbox only in this Exchange
     )
-    cand_side = F.broadcast(cand) if broadcast_candidates else cand
+    if broadcast_candidates == "auto":
+        import weakref
+
+        cand = cand.persist()
+        do_broadcast = cand.count() <= max_broadcast_candidates
+    else:
+        do_broadcast = bool(broadcast_candidates)
+    cand_side = F.broadcast(cand) if do_broadcast else cand
     joined = fp_src.join(cand_side, "_fid")  # WKB re-joined once per candidate
     out = joined.withColumn(
         "coverage",
         _coverage_udf(F.col("_wkb"), F.col("x_min"), F.col("y_min"), F.col("x_max"), F.col("y_max")),
     )
-    return (
+    res = (
         out.filter(F.col("coverage") > min_coverage)
         .select(F.col("_fid").alias(fp_id), F.col("_rid").alias(rect_id), "coverage")
     )
+    if broadcast_candidates == "auto":
+        # release the candidate cache when the result frame is dropped
+        # (unpersisting earlier would invalidate the dependent cached plan)
+        def _release(c=cand):
+            try:
+                c.unpersist(False)
+            except Exception:
+                pass  # session already stopped
+
+        weakref.finalize(res, _release)
+    return res

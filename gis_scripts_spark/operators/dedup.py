@@ -299,8 +299,12 @@ def simhash_pairs(
     left = blocked.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa"), "q", "qv")
     right = blocked.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sb"), "q", "qv")
     pairs = left.join(right, ["q", "qv"]).filter(F.col("id_a") < F.col("id_b"))
-    w = Window.partitionBy("id_a", "id_b").orderBy("q")
-    pairs = pairs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    # report-once via groupBy (map-side partial agg), NOT a window
+    # row_number (which would shuffle AND sort every candidate). _sa/_sb
+    # are functionally dependent on id_a/id_b, so F.first is deterministic.
+    pairs = pairs.groupBy("id_a", "id_b").agg(
+        F.first("_sa").alias("_sa"), F.first("_sb").alias("_sb")
+    )
     hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming")
     return pairs.select("id_a", "id_b", hamming).filter(F.col("hamming") <= max_hamming)
 
@@ -544,19 +548,31 @@ def cluster_pairs_distributed(
     O(component diameter) rounds (near-dup clusters are shallow). One
     equi-join + one groupBy per round, labels only in the shuffles.
 
-    Returns (doc_id, cluster_id = min member id of the component)."""
+    Returns (doc_id, cluster_id = min member id of the component).
+
+    Lineage discipline: every round's labels are `localCheckpoint`ed
+    (eager), NOT merely persisted. A persist keeps the full logical plan
+    nested under each successive round — after ~6 rounds the physical
+    plan was 8,385 lines / 474 Exchange nodes, and driver-side
+    analysis/planning cost grows superlinearly with component depth; a
+    checkpoint replaces the plan with a LogicalRDD leaf, so the per-round
+    plan is constant-size (edges-leaf JOIN labels-leaf) regardless of
+    iteration count. `edges` is checkpointed once up front for the same
+    reason (its plan otherwise carries the whole upstream LSH pipeline
+    into every round's join). Checkpointed blocks are freed by the
+    ContextCleaner when the RDD is GC'd — no manual cache bookkeeping."""
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
 
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
-    ).persist()
+    ).localCheckpoint(eager=True)
     # convergence check: labels are elementwise NON-INCREASING, so for
     # integer ids the EXACT decimal sum is unchanged iff no label changed —
-    # one agg on the cached frame per round instead of a join + count.
+    # one agg on the checkpointed frame per round instead of a join + count.
     numeric = isinstance(labels.schema["label"].dataType,
                          (ByteType, ShortType, IntegerType, LongType))
 
@@ -565,68 +581,39 @@ def cluster_pairs_distributed(
         return v
 
     prev_sum = _label_sum(labels) if numeric else None
-    interim: list = []
-    try:
-        for _ in range(max_iters):
-            neigh = (
-                edges.join(
-                    labels.select(F.col("id").alias("dst"), F.col("label").alias("nl")),
-                    "dst",
-                )
-                .groupBy("src")
-                .agg(F.min("nl").alias("nl"))
-                .select(F.col("src").alias("id"), "nl")
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("nl")),
+                "dst",
             )
-            new_labels = labels.join(neigh, "id", "left").select(
-                "id", F.least("label", F.coalesce("nl", "label")).alias("label")
-            ).persist()
-            if numeric:
-                cur_sum = _label_sum(new_labels)
-                changed = int(cur_sum != prev_sum)
-                prev_sum = cur_sum
-            else:
-                changed = (
-                    new_labels.alias("n")
-                    .join(labels.alias("o"), "id")
-                    .filter(F.col("n.label") != F.col("o.label"))
-                    .count()
-                )
-            # do NOT unpersist the previous labels mid-loop: new_labels'
-            # cached plan is built on it, and uncaching a parent invalidates
-            # the child's cache -> every later iteration recomputes the
-            # whole upstream DAG (measured ~150 stages/run). All interim
-            # label caches are released together at the end.
-            interim.append(labels)
-            labels = new_labels
-            if changed == 0:
-                break
+            .groupBy("src")
+            .agg(F.min("nl").alias("nl"))
+            .select(F.col("src").alias("id"), "nl")
+        )
+        # localCheckpoint (not persist): truncates lineage to a LogicalRDD
+        # leaf so the next round's plan does NOT nest this round's — the
+        # eager materialization doubles as the convergence-agg input scan.
+        new_labels = labels.join(neigh, "id", "left").select(
+            "id", F.least("label", F.coalesce("nl", "label")).alias("label")
+        ).localCheckpoint(eager=True)
+        if numeric:
+            cur_sum = _label_sum(new_labels)
+            changed = int(cur_sum != prev_sum)
+            prev_sum = cur_sum
         else:
-            raise RuntimeError(
-                f"cluster_pairs_distributed did not converge in {max_iters} "
-                "rounds (component diameter exceeds max_iters) — raise "
-                "max_iters; returning partial labels would be silently wrong")
-        out = labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
-        # release EVERY cache (edges, interim labels, final labels) only
-        # when the returned DataFrame is dropped — unpersisting any parent
-        # earlier (e.g. in a finally) invalidates the dependent cached
-        # plans and the caller's evaluation recomputes the whole DAG
-        import weakref
-
-        holds = [edges, *interim, labels]
-
-        def _release(hs=holds):
-            for h in hs:
-                try:
-                    h.unpersist(False)
-                except Exception:
-                    pass  # session already stopped
-
-        weakref.finalize(out, _release)
-        return out
-    except BaseException:
-        for h in [edges, *interim, labels]:
-            try:
-                h.unpersist(False)
-            except Exception:
-                pass
-        raise
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"cluster_pairs_distributed did not converge in {max_iters} "
+            "rounds (component diameter exceeds max_iters) — raise "
+            "max_iters; returning partial labels would be silently wrong")
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

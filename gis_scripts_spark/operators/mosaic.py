@@ -55,6 +55,21 @@ COMPOSITE_SCHEMA = StructType(
 )
 
 
+def _representable(nd, dtype: np.dtype) -> bool:
+    """True iff the nodata sentinel is exactly representable in `dtype` —
+    explicit range/integrality checks, NOT cast-and-compare (float→int
+    casts of out-of-range values are C-undefined and platform-dependent
+    in numpy, so the wrapped value could coincidentally equal float(nd))."""
+    v = float(nd)
+    if not np.isfinite(v):
+        return np.issubdtype(dtype, np.floating)
+    if np.issubdtype(dtype, np.integer):
+        info = np.iinfo(dtype)
+        return v.is_integer() and info.min <= v <= info.max
+    # float dtypes: float32 must round-trip the value exactly
+    return float(np.asarray(v, dtype)) == v
+
+
 def mosaic_composite(
     images: DataFrame,
     tile_px: int = 256,
@@ -117,6 +132,17 @@ def mosaic_composite(
         # decoded at a time (deep source stacks stay at 1x peak memory).
         dt = np.result_type(*[codec.probe_dtype(bytes(row["bytes"]), row["fmt"])
                               for _, row in rows_list])
+        # band counts likewise header-only: heterogeneous stacks RAISE
+        # (the reference treats mixed band counts as an error,
+        # temp/resample_and_merge_rasters.ipynb) — silently painting
+        # min(src_bands, canvas_bands) would drop e.g. an alpha band.
+        band_counts = {codec.probe_shape(bytes(row["bytes"]), row["fmt"])[2]
+                       for _, row in rows_list}
+        if len(band_counts) > 1:
+            raise ValueError(
+                f"mosaic_composite: heterogeneous band counts {sorted(band_counts)} "
+                "in one tile — resample/stack sources to a common band count first"
+            )
         fv = float(fill_value)
         if np.issubdtype(dt, np.integer):
             if not (fv.is_integer() and np.iinfo(dt).min <= fv <= np.iinfo(dt).max):
@@ -148,7 +174,7 @@ def mosaic_composite(
             dst_c = slice(ix0 - ox, ix1 - ox)
             nb = min(src.shape[2], nbands)
             nd = row["_nd"]
-            if nd is not None and not pd.isna(nd) and float(np.asarray(nd, src.dtype)) == float(nd):
+            if nd is not None and not pd.isna(nd) and _representable(nd, src.dtype):
                 # representable sentinel only: casting e.g. -9999 into uint8
                 # wraps to 241 and would falsely invalidate valid pixels
                 valid = src[:, :, :nb] != np.asarray(nd, src.dtype)

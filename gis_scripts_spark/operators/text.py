@@ -131,13 +131,17 @@ def md5_fingerprints(
 ) -> DataFrame:
     """Winnowing-style document fingerprint with an SQL-portable hash:
     normalize (lower + collapse whitespace, first `max_chars` chars),
-    md5 every `window`-char shingle, fingerprint = MIN hex prefix (16
-    chars — lexicographic min of fixed-width lowercase hex == numeric min).
+    md5 every `window`-char shingle, fingerprint = MIN over the NUMERIC
+    value of the first 15 hex chars (60 bits — exact in both a Spark long
+    and a DuckDB BIGINT; same min ordering as the fixed-width hex prefix).
+    Numeric min matters for the plan: `min(string)` forces SortAggregate
+    (every exploded shingle row sorted per partition before the partial
+    agg), while `min(long)` gets hash aggregation with map-side partials.
     Pure Column math end-to-end (JVM codegen: explode + substr + md5 +
-    min with map-side partial agg); shorter-than-window docs hash whole.
+    conv + min); shorter-than-window docs hash whole.
 
-    Returns (id_col, fingerprint). The shingle explode is linear in text
-    length (the standard shingle expansion), and the min-agg combines
+    Returns (id_col, fingerprint: long). The shingle explode is linear in
+    text length (the standard shingle expansion), and the min-agg combines
     map-side, so shuffle volume is one row per document."""
     w = window
     # explicit whitespace class: Java \s and RE2 \s disagree on \x0B, and
@@ -160,5 +164,7 @@ def md5_fingerprints(
         .otherwise(F.col("_norm")).alias("_g"),
     )
     return grams.groupBy(id_col).agg(
-        F.min(F.substring(F.md5("_g"), 1, 16)).alias("fingerprint")
+        F.min(F.conv(F.substring(F.md5("_g"), 1, 15), 16, 10).cast("long")).alias(
+            "fingerprint"
+        )
     )

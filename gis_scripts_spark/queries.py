@@ -498,8 +498,9 @@ FROM t
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lang-ID heuristic + md5-winnowing fingerprint — FULL oracle (the
-    simhash trick: md5 shingle hashes + lexicographic min rebuild exactly
-    in DuckDB SQL; the lang-ID marker argmax is CASE logic). The
+    simhash trick: md5 shingle hashes + numeric 60-bit min rebuild exactly
+    in DuckDB SQL; the lang-ID marker argmax is CASE logic). The min is
+    NUMERIC (long) so Spark uses hash aggregation, not SortAggregate. The
     engine-hashed Rabin-Karp variant remains as text.fingerprint_udf with
     its determinism pytest."""
     docs = _pq(spark, sf_dir, "documents")
@@ -525,7 +526,9 @@ grams AS (
   SELECT doc_id,
          CASE WHEN length(nm) >= 8 THEN substr(nm, CAST(i AS INTEGER), 8) ELSE nm END AS g
   FROM nrm, LATERAL (SELECT unnest(range(1, GREATEST(length(nm) - 7, 1) + 1)) AS i)),
-fp AS (SELECT doc_id, MIN(substr(md5(g), 1, 16)) AS fingerprint FROM grams GROUP BY doc_id),
+fp AS (SELECT doc_id,
+              MIN(CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT)) AS fingerprint
+       FROM grams GROUP BY doc_id),
 hits AS (
   SELECT doc_id,
          {_sql_lang_hits('de')}, {_sql_lang_hits('en')}, {_sql_lang_hits('es')},

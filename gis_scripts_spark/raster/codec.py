@@ -278,11 +278,42 @@ def probe_dtype(buf: bytes, fmt: str | None = None) -> np.dtype:
         return _RAW_DTYPES[head[4]]
     if fmt in ("tif", "tiff", "gtiff") or head[:2] in (b"II", b"MM"):
         from gis_scripts_spark.raster import geotiff
-        import struct as _struct
 
         bo = "<" if head[:2] == b"II" else ">"
         t = geotiff._read_ifd(bytes(buf), bo)
         bits = int(t.get(geotiff.TAG_BITS, [8])[0])
         sfmt = int(t.get(geotiff.TAG_SAMPLE_FORMAT, [1])[0])
         return np.dtype({1: "u", 2: "i", 3: "f"}.get(sfmt, "u") + str(bits // 8))
+    raise ValueError("unknown image format")
+
+
+def probe_shape(buf: bytes, fmt: str | None = None) -> tuple[int, int, int]:
+    """(h, w, bands) of the encoded image from its HEADER only — no pixel
+    decode. Lets group kernels (mosaic band-count validation) inspect every
+    source cheaply before committing to a canvas layout."""
+    head = bytes(buf[:33])
+    if fmt == "png" or head.startswith(_PNG_SIG[:4]):
+        # IHDR payload starts at byte 16: width, height (u32be), depth, color
+        w, h = struct.unpack_from(">II", head, 16)
+        color_type = head[25]
+        bands = {0: 1, 2: 3}.get(color_type)
+        if bands is None:
+            raise ValueError(f"unsupported color type {color_type}")
+        return int(h), int(w), bands
+    if fmt == "qnt" or head.startswith(_QNT_MAGIC):
+        w, h, bands, _bits = struct.unpack_from("<HHBB", head, 4)
+        return int(h), int(w), int(bands)
+    if fmt == "raw" or head.startswith(_RAW_MAGIC):
+        _code, w, h, bands = struct.unpack_from("<BIIB", head, 4)
+        return int(h), int(w), int(bands)
+    if fmt in ("tif", "tiff", "gtiff") or head[:2] in (b"II", b"MM"):
+        from gis_scripts_spark.raster import geotiff
+
+        bo = "<" if head[:2] == b"II" else ">"
+        t = geotiff._read_ifd(bytes(buf), bo)
+        return (
+            int(t[geotiff.TAG_HEIGHT][0]),
+            int(t[geotiff.TAG_WIDTH][0]),
+            int(t.get(geotiff.TAG_SAMPLES_PER_PIXEL, [1])[0]),
+        )
     raise ValueError("unknown image format")

@@ -5,10 +5,14 @@ the sandbox) — closes the reference's dominant container format
 
 Supported (the subset the reference's data actually uses):
 - read: little/big endian classic TIFF; strip or tile organization;
-  compression none (1) or DEFLATE (8/32946); 8/16/32-bit unsigned,
+  compression none (1), LZW (5), DEFLATE (8/32946) or PackBits (32773);
+  predictor none (1), horizontal differencing (2) or floating-point
+  byte-shuffle differencing (3, TIFF Technical Note 3 — the layout GDAL
+  writes for float rasters with PREDICTOR=3); 8/16/32-bit unsigned,
   signed and 32/64-bit float samples (SampleFormat 1/2/3); chunky planar
   config; band-interleaved pixels -> (h, w, bands)
-- write: little-endian, chunky, strips, compression none or DEFLATE
+- write: little-endian, chunky, strips, compression none / DEFLATE /
+  LZW / PackBits, predictor 1/2/3
 - GeoTIFF geo-referencing: ModelPixelScale (33550) + ModelTiepoint (33922)
   and the GDAL nodata ASCII tag (42113) survive a roundtrip
 
@@ -67,6 +71,192 @@ def _read_ifd(buf: bytes, bo: str):
     return tags
 
 
+# --------------------------------------------------------------- LZW (§13)
+# TIFF-variant LZW: MSB-first bit packing, ClearCode=256, EOI=257, first
+# dynamic entry 258, 12-bit max codes, and the TIFF "early change" rule —
+# the code width bumps when the NEXT code to be added would be
+# (1 << width) - 1 (one code earlier than the GIF convention; what
+# libtiff/GDAL emit).
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """TIFF LZW decompressor (TIFF 6.0 §13, early-change variant)."""
+    out = bytearray()
+    nbits = 9
+    total_bits = len(data) * 8
+    bitpos = 0
+    table: list[bytes] = []
+    prev: bytes | None = None
+
+    def reset_table():
+        return [bytes([i]) for i in range(256)] + [b"", b""]
+
+    table = reset_table()
+    while bitpos + nbits <= total_bits:
+        byte_idx = bitpos >> 3
+        chunk = int.from_bytes(data[byte_idx : byte_idx + 4].ljust(4, b"\0"), "big")
+        code = (chunk >> (32 - (bitpos & 7) - nbits)) & ((1 << nbits) - 1)
+        bitpos += nbits
+        if code == _LZW_CLEAR:
+            table = reset_table()
+            nbits = 9
+            prev = None
+            continue
+        if code == _LZW_EOI:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("corrupt LZW stream (first code out of table)")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream (code beyond table)")
+        out += entry
+        prev = entry
+        # early change, decoder side: the decoder's table lags the
+        # encoder's by exactly one entry (the encoder adds its entry
+        # before emitting the next code; the decoder only learns it from
+        # that code), so the decoder widens one entry EARLIER than the
+        # encoder's next_code == (1<<nbits)-1 rule.
+        if len(table) == (1 << nbits) - 2 and nbits < 12:
+            nbits += 1
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW compressor (mirror of lzw_decode; resets the table at the
+    12-bit ceiling like libtiff)."""
+    out = bytearray()
+    acc = 0
+    acc_bits = 0
+
+    def put(code: int, nbits: int):
+        nonlocal acc, acc_bits
+        acc = (acc << nbits) | code
+        acc_bits += nbits
+        while acc_bits >= 8:
+            out.append((acc >> (acc_bits - 8)) & 0xFF)
+            acc_bits -= 8
+        acc &= (1 << acc_bits) - 1
+
+    d: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    nbits = 9
+    put(_LZW_CLEAR, nbits)
+    omega = b""
+    for b in data:
+        k = omega + bytes([b])
+        if k in d:
+            omega = k
+            continue
+        put(d[omega], nbits)
+        d[k] = next_code
+        next_code += 1
+        if next_code == (1 << nbits) - 1 and nbits < 12:
+            nbits += 1
+        elif next_code == 4095:  # table full: clear and restart
+            put(_LZW_CLEAR, nbits)
+            d = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            nbits = 9
+        omega = bytes([b])
+    if omega:
+        put(d[omega], nbits)
+    put(_LZW_EOI, nbits)
+    if acc_bits:
+        out.append((acc << (8 - acc_bits)) & 0xFF)
+    return bytes(out)
+
+
+# ---------------------------------------------------------- PackBits (§9)
+def packbits_decode(data: bytes) -> bytes:
+    """Apple PackBits decompressor (TIFF 6.0 §9)."""
+    out = bytearray()
+    i = 0
+    n_len = len(data)
+    while i < n_len:
+        n = data[i]
+        i += 1
+        if n < 128:  # literal run of n+1 bytes
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op per spec
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """PackBits compressor: greedy runs >= 3 become replicate packets,
+    everything else literal packets (the spec's recommended strategy)."""
+    out = bytearray()
+    i = 0
+    n_len = len(data)
+    while i < n_len:
+        # find run length at i
+        run = 1
+        while i + run < n_len and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out.append(257 - run)
+            out.append(data[i])
+            i += run
+            continue
+        # literal: extend until a run of >= 3 starts (or 128 bytes)
+        j = i
+        while j < n_len and j - i < 128:
+            r = 1
+            while j + r < n_len and r < 3 and data[j + r] == data[j]:
+                r += 1
+            if r >= 3:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+# ------------------------------------- float predictor 3 (TechNote 3)
+def _fp3_encode_rows(rows_bytes: np.ndarray, bps: int, stride: int) -> np.ndarray:
+    """Forward floating-point horizontal differencing: per row, shuffle
+    value bytes into big-endian byte planes (all MSBs first), then
+    byte-wise horizontal differencing with `stride` = samples per pixel.
+    rows_bytes: (n_rows, n_values*bps) uint8 of BIG-ENDIAN value bytes in
+    value order; returns the on-disk byte layout."""
+    n_rows, row_bytes = rows_bytes.shape
+    n_vals = row_bytes // bps
+    # value-order BE bytes -> planes: plane b holds byte b of every value
+    planes = rows_bytes.reshape(n_rows, n_vals, bps).transpose(0, 2, 1).reshape(
+        n_rows, row_bytes
+    )
+    diff = planes.astype(np.int16)
+    diff[:, stride:] -= planes[:, :-stride].astype(np.int16)
+    return (diff & 0xFF).astype(np.uint8)
+
+
+def _fp3_decode_rows(raw: np.ndarray, bps: int, stride: int) -> np.ndarray:
+    """Inverse of _fp3_encode_rows: byte cumsum (mod 256) with `stride`,
+    then un-shuffle the byte planes back to value order (big-endian)."""
+    n_rows, row_bytes = raw.shape
+    acc = raw.copy()
+    # cp[i] += cp[i-stride] sequentially == per-residue-class cumsum
+    for s in range(stride):
+        lane = acc[:, s::stride].astype(np.int64)
+        acc[:, s::stride] = np.cumsum(lane, axis=1).astype(np.uint8)
+    n_vals = row_bytes // bps
+    return acc.reshape(n_rows, bps, n_vals).transpose(0, 2, 1).reshape(
+        n_rows, row_bytes
+    )
+
+
 def _dtype_of(bits: int, fmt: int, bo: str) -> np.dtype:
     kind = {1: "u", 2: "i", 3: "f"}.get(fmt, "u")
     dt = np.dtype(f"{kind}{bits // 8}")
@@ -95,14 +285,16 @@ def tiff_decode(buf: bytes) -> tuple[np.ndarray, dict]:
     planar = int(t.get(TAG_PLANAR, [1])[0])
     if planar != 1:
         raise ValueError("only chunky planar config supported")
-    if comp not in (1, 8, 32946):
-        raise NotImplementedError(f"TIFF compression {comp} not supported (none/deflate only)")
+    if comp not in (1, 5, 8, 32773, 32946):
+        raise NotImplementedError(
+            f"TIFF compression {comp} not supported (none/lzw/deflate/packbits)"
+        )
     predictor = int(t.get(TAG_PREDICTOR, [1])[0])
-    if predictor not in (1, 2):
-        # 3 = floating-point byte-shuffle differencing; fail loudly instead
-        # of silently decoding garbage (GDAL writes PREDICTOR=2/3 DEFLATE)
-        raise NotImplementedError(f"TIFF predictor {predictor} not supported (none/horizontal only)")
+    if predictor not in (1, 2, 3):
+        raise NotImplementedError(f"TIFF predictor {predictor} not supported")
     dt = _dtype_of(bits, fmt, bo)
+    if predictor == 3 and dt.kind != "f":
+        raise ValueError("TIFF predictor 3 applies to floating-point samples only")
 
     def undo_predictor(arr: np.ndarray) -> np.ndarray:
         """Undo horizontal differencing (predictor 2, TIFF 6.0 §14): each
@@ -117,7 +309,23 @@ def tiff_decode(buf: bytes) -> tuple[np.ndarray, dict]:
     def blocks(offsets, counts):
         for o, c in zip(offsets, counts):
             raw = buf[int(o) : int(o) + int(c)]
-            yield zlib.decompress(raw) if comp in (8, 32946) else raw
+            if comp in (8, 32946):
+                yield zlib.decompress(raw)
+            elif comp == 5:
+                yield lzw_decode(raw)
+            elif comp == 32773:
+                yield packbits_decode(raw)
+            else:
+                yield raw
+
+    def undo_fp3(data: bytes, n_rows: int, row_vals: int) -> np.ndarray:
+        """Predictor-3 block bytes -> (n_rows, row_vals) native-float rows."""
+        bps = dt.itemsize
+        raw = np.frombuffer(data, np.uint8, count=n_rows * row_vals * bps)
+        be = _fp3_decode_rows(raw.reshape(n_rows, row_vals * bps), bps, spp)
+        return np.frombuffer(be.tobytes(), np.dtype(f">f{bps}")).reshape(
+            n_rows, row_vals
+        ).astype(dt.newbyteorder("="))
 
     if TAG_TILE_OFFSETS in t:
         tw = int(t[TAG_TILE_WIDTH][0])
@@ -126,18 +334,27 @@ def tiff_decode(buf: bytes) -> tuple[np.ndarray, dict]:
         tiles_x = (w + tw - 1) // tw
         for idx, data in enumerate(blocks(t[TAG_TILE_OFFSETS], t[TAG_TILE_COUNTS])):
             ty, tx = divmod(idx, tiles_x)
-            arr = np.frombuffer(data, dt, count=tw * th * spp).reshape(th, tw, spp)
-            arr = undo_predictor(arr.astype(dt.newbyteorder("=")))
+            if predictor == 3:
+                arr = undo_fp3(data, th, tw * spp).reshape(th, tw, spp)
+            else:
+                arr = np.frombuffer(data, dt, count=tw * th * spp).reshape(th, tw, spp)
+                arr = undo_predictor(arr.astype(dt.newbyteorder("=")))
             y0, x0 = ty * th, tx * tw
             hh, ww = min(th, h - y0), min(tw, w - x0)
             out[y0 : y0 + hh, x0 : x0 + ww] = arr[:hh, :ww]
         return out, _geo_meta(t)
     rps = int(t.get(TAG_ROWS_PER_STRIP, [h])[0])
+    _ = rps
+    if predictor == 3:
+        # strips are full-width rows, so the per-row byte shuffle +
+        # differencing can run over the whole concatenated image at once
+        data = b"".join(blocks(t[TAG_STRIP_OFFSETS], t[TAG_STRIP_COUNTS]))
+        img = undo_fp3(data, h, w * spp).reshape(h, w, spp)
+        return img, _geo_meta(t)
     parts = []
     for data in blocks(t[TAG_STRIP_OFFSETS], t[TAG_STRIP_COUNTS]):
         parts.append(np.frombuffer(data, dt))
     flat = np.concatenate(parts)[: h * w * spp]
-    _ = rps
     img = flat.reshape(h, w, spp).astype(dt.newbyteorder("="))
     # strips are full-width rows, so per-row differencing never crosses a
     # strip boundary — the whole-image cumsum is exact
@@ -158,18 +375,23 @@ def _geo_meta(t: dict) -> dict:
     return meta
 
 
+_COMP_CODES = {True: 8, "deflate": 8, "lzw": 5, "packbits": 32773, False: 1, "none": 1}
+
+
 def tiff_encode(
     img: np.ndarray,
-    compress: bool = True,
+    compress: bool | str = True,
     pixel_scale: tuple | None = None,
     tiepoint: tuple | None = None,
     nodata: float | None = None,
     predictor: int = 1,
 ) -> bytes:
     """(h, w[, bands]) uint8/16/32, int8/16/32, float32/64 -> little-endian
-    classic TIFF (chunky, one strip per 64 rows, optional DEFLATE).
-    predictor=2 writes horizontal differencing (integer dtypes only), the
-    layout GDAL commonly emits with DEFLATE."""
+    classic TIFF (chunky, one strip per 64 rows). `compress`: True/'deflate',
+    'lzw', 'packbits', or False/'none'. predictor=2 writes horizontal
+    differencing (integer dtypes only); predictor=3 writes floating-point
+    byte-shuffle differencing (float dtypes only) — the layouts GDAL
+    commonly emits with DEFLATE/LZW."""
     img = np.asarray(img)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -177,10 +399,15 @@ def tiff_encode(
     dt = img.dtype
     if dt.kind not in "uif":
         raise ValueError(f"unsupported dtype {dt}")
-    if predictor not in (1, 2):
-        raise ValueError("predictor must be 1 (none) or 2 (horizontal)")
+    if compress not in _COMP_CODES:
+        raise ValueError(f"compress must be one of {sorted(map(str, _COMP_CODES))}")
+    comp_code = _COMP_CODES[compress]
+    if predictor not in (1, 2, 3):
+        raise ValueError("predictor must be 1 (none), 2 (horizontal) or 3 (float)")
     if predictor == 2 and dt.kind == "f":
         raise ValueError("predictor 2 applies to integer samples only")
+    if predictor == 3 and dt.kind != "f":
+        raise ValueError("predictor 3 applies to floating-point samples only")
     fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
     bits = dt.itemsize * 8
     if predictor == 2:
@@ -189,25 +416,42 @@ def tiff_encode(
         img = d.astype(dt)  # wraps mod 2^bits; decode cumsum inverts exactly
     le = img.astype(dt.newbyteorder("<"))
 
+    def pack(raw: bytes) -> bytes:
+        if comp_code == 8:
+            return zlib.compress(raw, 6)
+        if comp_code == 5:
+            return lzw_encode(raw)
+        if comp_code == 32773:
+            return packbits_encode(raw)
+        return raw
+
     rps = min(64, h)
     strips = []
     for y0 in range(0, h, rps):
-        raw = np.ascontiguousarray(le[y0 : y0 + rps]).tobytes()
-        strips.append(zlib.compress(raw, 6) if compress else raw)
+        block = np.ascontiguousarray(le[y0 : y0 + rps])
+        if predictor == 3:
+            be = block.astype(dt.newbyteorder(">"))
+            rows = np.frombuffer(be.tobytes(), np.uint8).reshape(
+                block.shape[0], w * spp * dt.itemsize
+            )
+            raw = _fp3_encode_rows(rows, dt.itemsize, spp).tobytes()
+        else:
+            raw = block.tobytes()
+        strips.append(pack(raw))
 
     entries: list[tuple[int, int, int, object]] = [
         (TAG_WIDTH, 4, 1, w),
         (TAG_HEIGHT, 4, 1, h),
         (TAG_BITS, 3, spp, [bits] * spp),
-        (TAG_COMPRESSION, 3, 1, 8 if compress else 1),
+        (TAG_COMPRESSION, 3, 1, comp_code),
         (TAG_PHOTOMETRIC, 3, 1, 1),
         (TAG_SAMPLES_PER_PIXEL, 3, 1, spp),
         (TAG_ROWS_PER_STRIP, 4, 1, rps),
         (TAG_PLANAR, 3, 1, 1),
         (TAG_SAMPLE_FORMAT, 3, spp, [fmt] * spp),
     ]
-    if predictor == 2:
-        entries.append((TAG_PREDICTOR, 3, 1, 2))
+    if predictor in (2, 3):
+        entries.append((TAG_PREDICTOR, 3, 1, predictor))
     if pixel_scale is not None:
         entries.append((TAG_MODEL_PIXEL_SCALE, 12, 3, list(pixel_scale)[:3]))
     if tiepoint is not None:

@@ -225,10 +225,19 @@ def read_shapefile_attrs(
 
     files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
     if field_names is None:
-        first = files.limit(1).collect()
+        # header-ONLY driver read: dBASE field descriptors live in the
+        # first 32 + 32*n_fields + 1 bytes (<= ~8 KB at the 255-field
+        # max); substring the binary column so the collect ships a 64 KB
+        # prefix, not the whole file (r3 advice: limit(1).collect() on
+        # binaryFile rows dragged entire file contents to the driver)
+        first = (
+            files.select(F.expr("substring(content, 1, 65536)").alias("head"))
+            .limit(1)
+            .collect()
+        )
         if not first:
             raise ValueError(f"no files match {path_glob}")
-        field_names = dbf_field_names(bytes(first[0]["content"]))
+        field_names = dbf_field_names(bytes(first[0]["head"]))
     schema = StructType(
         [
             StructField("path", StringType(), False),
@@ -273,7 +282,14 @@ def read_shapefiles_with_attrs(
             .filter(F.col("CLASS_NAME") == "seagrass")
 
     Deleted dBASE records are dropped (OGR skips them)."""
-    dbf_glob = shp_glob[:-4] + ".dbf" if shp_glob.endswith(".shp") else shp_glob
+    if not shp_glob.endswith(".shp"):
+        # a non-.shp glob would silently feed the same (geometry) files to
+        # the dBASE parser; fail loudly instead (r3 advice)
+        raise ValueError(
+            f"shp_glob must end in .shp (got {shp_glob!r}) — the sibling "
+            ".dbf glob is derived by suffix substitution"
+        )
+    dbf_glob = shp_glob[:-4] + ".dbf"
     geom = read_shapefiles(spark, shp_glob).withColumn(
         "_stem", F.regexp_replace(F.col("path"), r"\.shp$", "")
     )

@@ -10,8 +10,10 @@ Spark shape: the distributed part is the zonal histogram/percent rollup
 (queries.q_zonal_event_stats / pip_join + groupBy) — per-polygon rows are
 few (one per zone), so the test itself is a driver-side finisher on the
 collected zone table, exactly like the reference's per-site R calls.
-scipy-free: normal approximation with tie correction and continuity
-correction, the same large-sample path R uses by default when ties exist.
+scipy-free: the EXACT U distribution (Mann-Whitney recurrence) for small
+untied samples — the same path R takes for n < 50 without ties — and the
+normal approximation with tie correction and continuity correction
+otherwise, R's large-sample/tied path.
 """
 
 from __future__ import annotations
@@ -39,11 +41,54 @@ def _rankdata(a: np.ndarray) -> np.ndarray:
     return ranks
 
 
+def _wilcox_counts(m: int, n: int) -> np.ndarray:
+    """Frequency table of the Mann-Whitney U statistic under H0 for sample
+    sizes (m, n): counts[u] = number of the C(m+n, m) equally-likely rank
+    arrangements with U == u. Mann & Whitney's (1947) recurrence
+    c(u; m, n) = c(u-n; m-1, n) + c(u; m, n-1), built iteratively."""
+    # rows[k] = counts array for (k, j) at the current j
+    rows = [np.ones(1, np.float64) for _ in range(m + 1)]  # j = 0: U always 0
+    for j in range(1, n + 1):
+        new_rows = [np.ones(1, np.float64)]  # k = 0: U always 0
+        for k in range(1, m + 1):
+            size = k * j + 1
+            c = np.zeros(size, np.float64)
+            a = new_rows[k - 1]  # (k-1, j): shifted by j
+            c[j : j + len(a)] += a
+            b = rows[k]  # (k, j-1)
+            c[: len(b)] += b
+            new_rows.append(c)
+        rows = new_rows
+    return rows[m]
+
+
+def _wilcox_exact_p(u1: float, m: int, n: int, alternative: str) -> float:
+    """Exact Mann-Whitney p-value from the full U distribution — R
+    wilcox.test's exact path (``Assess_Agreement.R:68-94`` calls
+    wilcox.test, which uses the exact distribution when both samples have
+    < 50 observations and there are no ties)."""
+    counts = _wilcox_counts(m, n)
+    total = counts.sum()
+    u = int(round(u1))
+    if alternative == "less":
+        return float(counts[: u + 1].sum() / total)
+    if alternative == "greater":
+        return float(counts[u:].sum() / total)
+    if u1 > m * n / 2.0:
+        p = 2.0 * counts[u:].sum() / total
+    else:
+        p = 2.0 * counts[: u + 1].sum() / total
+    return float(min(p, 1.0))
+
+
 def mann_whitney_u(
     x: np.ndarray, y: np.ndarray, alternative: str = "less"
 ) -> dict:
-    """Mann-Whitney U with tie-corrected normal approximation + continuity
-    correction (the R wilcox.test default path for tied/large samples).
+    """Mann-Whitney U, matching R wilcox.test's path selection: the EXACT
+    U distribution when both samples have < 50 observations and there are
+    no ties (round-4 fix — the normal approximation diverges from R for
+    small samples), else the tie-corrected normal approximation with
+    continuity correction.
 
     U is the U statistic of `x` (number of (x, y) pairs with x > y, ties
     counting half). rank_biserial = 2*U/(n1*n2) - 1 (favorable-minus-
@@ -62,6 +107,12 @@ def mann_whitney_u(
     n = n1 + n2
     # tie correction
     _, counts = np.unique(both, return_counts=True)
+    has_ties = bool((counts > 1).any())
+    if not has_ties and n1 < 50 and n2 < 50:
+        # R's exact path: small untied samples
+        p = _wilcox_exact_p(u1, n1, n2, alternative)
+        r_rb = 2.0 * u1 / (n1 * n2) - 1.0
+        return {"u": float(u1), "p_value": float(p), "rank_biserial": float(r_rb)}
     tie_term = float(((counts**3 - counts).sum())) / (n * (n - 1)) if n > 1 else 0.0
     sigma2 = n1 * n2 / 12.0 * ((n + 1) - tie_term)
     sigma = math.sqrt(max(sigma2, 0.0))

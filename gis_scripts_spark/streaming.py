@@ -80,13 +80,18 @@ def stream_exact_dedup(
     hash across micro-batches — Spark's stateful streaming
     `dropDuplicates` keyed by md5(text) (state backed by the checkpoint
     store, so dedup survives restarts). With `watermark_col` the state is
-    bounded (older-than-watermark keys expire — the production setting for
-    unbounded corpora); without it the state grows with distinct content,
-    the fair default for bounded backfills."""
+    bounded — the production setting for unbounded corpora; without it the
+    state grows with distinct content, the fair default for bounded
+    backfills."""
     hashed = docs_stream.withColumn("_text_md5", F.md5(F.col(text_col)))
     if watermark_col is not None:
+        # key-only dedup with bounded state: dropDuplicatesWithinWatermark
+        # dedups on the hash ALONE (identical content with a different
+        # event time inside the window is still dropped — plain
+        # dropDuplicates([hash, ts]) would keep it, the r3 advice defect),
+        # and state older than the watermark expires.
         hashed = hashed.withWatermark(watermark_col, watermark)
-        return hashed.dropDuplicates(["_text_md5", watermark_col])
+        return hashed.dropDuplicatesWithinWatermark(["_text_md5"])
     return hashed.dropDuplicates(["_text_md5"])
 
 

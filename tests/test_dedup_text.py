@@ -136,3 +136,21 @@ def test_cluster_pairs_distributed_matches_union_find(spark):
     )
     assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
     assert (got["cluster_id"].to_numpy() == want["cluster_id"].to_numpy()).all()
+
+
+def test_cluster_pairs_distributed_deep_chain(spark):
+    """Round-4 gate: a 50-node path (diameter 49 — ~49 propagation rounds)
+    completes without plan blowup and labels every node with the chain
+    min. Before the localCheckpoint fix this shape was quadratic in
+    driver-side plan analysis and effectively hung."""
+    import pandas as pd
+
+    pairs = pd.DataFrame({"id_a": list(range(49)), "id_b": list(range(1, 50))})
+    got = (
+        dedup.cluster_pairs_distributed(spark.createDataFrame(pairs), max_iters=60)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 50
+    assert (got["cluster_id"] == 0).all()

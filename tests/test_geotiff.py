@@ -43,14 +43,14 @@ def test_tiff_multi_strip_and_codec_sniff():
 def test_tiff_rejects_unknown_compression():
     arr = np.zeros((4, 4), np.uint8)
     buf = bytearray(geotiff.tiff_encode(arr, compress=False))
-    # patch the Compression tag value to 5 (LZW) in place
+    # patch the Compression tag value to 7 (old-style JPEG — unsupported)
     import struct
     (ifd_off,) = struct.unpack_from("<I", buf, 4)
     (n,) = struct.unpack_from("<H", buf, ifd_off)
     for i in range(n):
         tag, = struct.unpack_from("<H", buf, ifd_off + 2 + 12 * i)
         if tag == geotiff.TAG_COMPRESSION:
-            struct.pack_into("<H", buf, ifd_off + 2 + 12 * i + 8, 5)
+            struct.pack_into("<H", buf, ifd_off + 2 + 12 * i + 8, 7)
     with pytest.raises(NotImplementedError):
         geotiff.tiff_decode(bytes(buf))
 

@@ -111,3 +111,36 @@ def test_mosaic_deterministic_across_parallelism(spark):
     assert (a["n_valid_px"] == b["n_valid_px"]).all()
     for x, y in zip(a["bytes"], b["bytes"]):
         assert bytes(x) == bytes(y)
+
+
+def test_mosaic_heterogeneous_band_counts_raise(spark):
+    """Round-4 gate (VERDICT r3 #6): a 3-band and a 1-band source landing
+    in the same tile must RAISE (reference semantics: mixed band stacks
+    are an error, temp/resample_and_merge_rasters.ipynb) — the old code
+    silently painted min(src_bands, canvas_bands) and dropped bands."""
+    rng = np.random.default_rng(7)
+    a3 = rng.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+    b1 = rng.integers(0, 255, (16, 16, 1)).astype(np.uint8)
+    rows = [_mk(a3, "hb_a", 10, 10), _mk(b1, "hb_b", 12, 12)]
+    df = spark.createDataFrame(pd.DataFrame(rows), schema=synth.IMAGE_SCHEMA)
+    out = mosaic.mosaic_composite(df, tile_px=32, order="last",
+                                  nodata_col="nodata", fill_value=0)
+    with pytest.raises(Exception, match="heterogeneous band counts"):
+        out.collect()
+
+
+def test_probe_shape_header_only():
+    """probe_shape agrees with the full decode across all codecs, reading
+    only header bytes."""
+    rng = np.random.default_rng(9)
+    img8 = rng.integers(0, 255, (13, 17, 3)).astype(np.uint8)
+    img16 = rng.integers(-500, 500, (9, 21, 2)).astype(np.int16)
+    cases = [
+        (codec.png_encode(img8), "png", (13, 17, 3)),
+        (codec.qnt_encode(img8), "qnt", (13, 17, 3)),
+        (codec.raw_encode(img16), "raw", (9, 21, 2)),
+        (codec.encode(img16, "tif"), "tif", (9, 21, 2)),
+    ]
+    for buf, fmt, want in cases:
+        assert codec.probe_shape(buf, fmt) == want, fmt
+        assert codec.probe_shape(buf, None) == want, fmt  # sniffed

@@ -114,6 +114,13 @@ def test_coverage_join_matches_bruteforce(spark):
                 assert np.isclose(got[(fid, rr["aoi_id"])], want, rtol=1e-9), (fid, rr["aoi_id"])
             else:
                 assert (fid, rr["aoi_id"]) not in got
+    # round-4 ADVICE safety valve: when the candidate count exceeds the
+    # broadcast ceiling, auto mode falls back to a shuffle join — same rows
+    out2 = coverage_join.coverage_join(
+        fp_df, spark.createDataFrame(rects), z=6, max_broadcast_candidates=0
+    ).toPandas()
+    got2 = {(r["image_id"], r["aoi_id"]): r["coverage"] for _, r in out2.iterrows()}
+    assert got2 == got
 
 
 def test_idempotent_ingest(spark, tmp_path):

@@ -22,7 +22,10 @@ def test_tiff_predictor2_roundtrip(dtype):
     assert (back == arr).all()
 
 
-def test_tiff_predictor3_rejected():
+def test_tiff_predictor3_on_ints_rejected():
+    """Round 4 implements predictor 3 for floats (tests/test_round4.py);
+    a predictor-3 tag on INTEGER samples is still invalid and must fail
+    loudly rather than decode garbage."""
     import struct
 
     arr = np.arange(64, dtype=np.uint16).reshape(8, 8)
@@ -33,7 +36,7 @@ def test_tiff_predictor3_rejected():
         (tag,) = struct.unpack_from("<H", buf, ifd_off + 2 + 12 * i)
         if tag == geotiff.TAG_PREDICTOR:
             struct.pack_into("<H", buf, ifd_off + 2 + 12 * i + 8, 3)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="floating-point"):
         geotiff.tiff_decode(bytes(buf))
 
 

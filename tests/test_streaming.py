@@ -135,3 +135,46 @@ def test_stream_running_zonal_counts(spark, tmp_path):
     assert last.loc["pA", "first_image"] == "i1"
     assert last.loc["pA", "last_image"] == "i4"
     assert last.loc["pB", "first_image"] == "i0"
+
+
+def test_stream_dedup_watermarked_key_only(spark, tmp_path):
+    """Round-4 ADVICE fix: watermarked dedup keys on the content hash
+    ALONE (dropDuplicatesWithinWatermark) — identical text arriving with
+    a DIFFERENT event time inside the watermark window is still dropped.
+    The r3 code deduped on (hash, event_time) and kept it."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    src = str(tmp_path / "wm_src")
+    sink = str(tmp_path / "wm_sink")
+    ckpt = str(tmp_path / "wm_ckpt")
+    os.makedirs(src)
+    schema = StructType([
+        StructField("doc_id", LongType(), False),
+        StructField("text", StringType(), False),
+        StructField("ts", TimestampType(), False),
+    ])
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    # same text at three DIFFERENT timestamps within the 1h watermark
+    spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["aaa", "aaa", "aaa", "bbb"],
+        "ts": [t0, t0 + datetime.timedelta(minutes=5),
+               t0 + datetime.timedelta(minutes=10), t0],
+    }), schema=schema).write.parquet(os.path.join(src, "b1"))
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    deduped = streaming.stream_exact_dedup(stream, watermark_col="ts")
+    q = (deduped.select("doc_id", "text").writeStream.format("parquet")
+         .option("path", sink).option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).outputMode("append").start())
+    q.awaitTermination()
+    got = spark.read.parquet(sink).toPandas()
+    assert sorted(got["text"]) == ["aaa", "bbb"], got

@@ -212,3 +212,14 @@ def test_dbf_deleted_records_dropped(spark, tmp_path):
     (tmp_path / "l.dbf").write_bytes(bytes(buf))
     out = vector.read_shapefiles_with_attrs(spark, str(tmp_path / "*.shp")).toPandas()
     assert list(out["NAME"]) == ["keep"]
+
+
+def test_shapefiles_with_attrs_rejects_non_shp_glob(spark):
+    """Round-4 ADVICE fix: a glob not ending in .shp used to be silently
+    reused as the dbf glob, feeding geometry files to the dBASE parser."""
+    import pytest as _pytest
+
+    from gis_scripts_spark.sources import vector
+
+    with _pytest.raises(ValueError, match=r"must end in \.shp"):
+        vector.read_shapefiles_with_attrs(spark, "/tmp/nope/*.gpkg")

@@ -351,7 +351,7 @@ def main() -> None:
     global IMG_PARTS, NTAB_PATH
     IMG_PARTS = args.img_parts
     wanted = set(args.jobs.split(","))
-    if "north_table" in wanted:
+    if "north_table" in wanted or "north_table_large" in wanted:
         from gis_scripts_spark.session import get_spark, stop_spark
         from gis_scripts_spark.sources import synth as synth_mod
 
@@ -379,6 +379,10 @@ def main() -> None:
         ("north_full_b32k", job_north, args.images, 32768),
         # production shape: table input (generation untimed)
         ("north_table", job_north_table, args.images, 8192),
+        # same job at MATERIAL size (5-20M rows, r3 directive #2): well
+        # above the ~4s fixed-cost floor, so the efficiency number is a
+        # property of the plan, not of scheduling constants
+        ("north_table_large", job_north_table, args.images, 8192),
     ):
         if name not in wanted:
             continue
