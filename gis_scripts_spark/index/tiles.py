@@ -48,13 +48,29 @@ def quadkey_col(x: Column, y: Column, z: int) -> Column:
     return F.concat(*digits) if digits else F.lit("")
 
 
+def tile_id_col(x: Column, y: Column, z: int) -> Column:
+    """Packed int64 tile id: (z << 58) | (x << 29) | y — bijective with
+    (z, x, y) for z <= 29, so the quadkey STRING is derivable on demand.
+    This is the production-scale identifier: at 10^12 rows a 12-char
+    quadkey costs 12+ bytes of heap churn per row (measurably GC-bound at
+    high thread counts), while the packed id is 8 flat bytes inside
+    whole-stage codegen."""
+    return (
+        F.lit(z).cast("long") * F.lit(1 << 58)
+        + x.cast("long") * F.lit(1 << 29)
+        + y.cast("long")
+    )
+
+
 def tile_cols(df, lon: str = "lon", lat: str = "lat", z: int = 12, prefix: str = "tile"):
-    """Append tile_z/tile_x/tile_y/quadkey columns. No shuffle."""
+    """Append tile_z/tile_x/tile_y/tile_id/quadkey columns. No shuffle.
+    Catalyst prunes whichever id flavor downstream doesn't read."""
     x, y = tile_xy_col(F.col(lon), F.col(lat), z)
     return (
         df.withColumn(f"{prefix}_z", F.lit(z))
         .withColumn(f"{prefix}_x", x)
         .withColumn(f"{prefix}_y", y)
+        .withColumn(f"{prefix}_id", tile_id_col(F.col(f"{prefix}_x"), F.col(f"{prefix}_y"), z))
         .withColumn("quadkey", quadkey_col(F.col(f"{prefix}_x"), F.col(f"{prefix}_y"), z))
     )
 
@@ -90,3 +106,14 @@ def quadkey_to_xyz(qk: str) -> tuple[int, int, int]:
         x = (x << 1) | (d & 1)
         y = (y << 1) | (d >> 1)
     return z, x, y
+
+
+def tile_id(x, y, z: int) -> np.ndarray:
+    """numpy mirror of tile_id_col (pytest oracle)."""
+    return (np.int64(z) << 58) + (np.asarray(x, np.int64) << 29) + np.asarray(y, np.int64)
+
+
+def tile_id_to_xyz(tid: int) -> tuple[int, int, int]:
+    """Inverse of tile_id: (z, x, y)."""
+    tid = int(tid)
+    return tid >> 58, (tid >> 29) & ((1 << 29) - 1), tid & ((1 << 29) - 1)

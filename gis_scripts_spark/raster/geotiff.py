@@ -4,7 +4,9 @@ the sandbox) — closes the reference's dominant container format
 ``global_match.py:146-147,212``, ``seagrass_lib.py:244``).
 
 Supported (the subset the reference's data actually uses):
-- read: little/big endian classic TIFF; strip or tile organization;
+- read: little/big endian classic TIFF (42) AND BigTIFF (43 — 8-byte
+  offsets/counts, 20-byte IFD entries, LONG8/SLONG8/IFD8 types; what GDAL
+  writes for >4 GB rasters); strip or tile organization;
   compression none (1), LZW (5), DEFLATE (8/32946) or PackBits (32773);
   predictor none (1), horizontal differencing (2) or floating-point
   byte-shuffle differencing (3, TIFF Technical Note 3 — the layout GDAL
@@ -12,7 +14,7 @@ Supported (the subset the reference's data actually uses):
   signed and 32/64-bit float samples (SampleFormat 1/2/3); chunky planar
   config; band-interleaved pixels -> (h, w, bands)
 - write: little-endian, chunky, strips, compression none / DEFLATE /
-  LZW / PackBits, predictor 1/2/3
+  LZW / PackBits, predictor 1/2/3, classic or BigTIFF layout
 - GeoTIFF geo-referencing: ModelPixelScale (33550) + ModelTiepoint (33922)
   and the GDAL nodata ASCII tag (42113) survive a roundtrip
 
@@ -26,8 +28,10 @@ import zlib
 
 import numpy as np
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+               11: 4, 12: 8, 16: 8, 17: 8, 18: 8}  # 16/17/18: BigTIFF LONG8/SLONG8/IFD8
+_TYPE_FMT = {3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d",
+             16: "Q", 17: "q", 18: "Q"}
 
 TAG_WIDTH = 256
 TAG_HEIGHT = 257
@@ -51,16 +55,38 @@ TAG_GDAL_NODATA = 42113
 
 
 def _read_ifd(buf: bytes, bo: str):
-    (off,) = struct.unpack_from(bo + "I", buf, 4)
-    (n,) = struct.unpack_from(bo + "H", buf, off)
+    """Classic (42) or BigTIFF (43) IFD -> {tag: [values]}. BigTIFF (the
+    public Adobe/AWare 2004 spec, what GDAL writes for >4 GB rasters —
+    `-co BIGTIFF=YES` or automatic): 8-byte offsets, 8-byte entry counts,
+    20-byte IFD entries, value inline when <= 8 bytes, extra value types
+    LONG8/SLONG8/IFD8."""
+    version = struct.unpack_from(bo + "H", buf, 2)[0]
+    if version == 43:
+        osize, zero = struct.unpack_from(bo + "HH", buf, 4)
+        if osize != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+        (off,) = struct.unpack_from(bo + "Q", buf, 8)
+        (n,) = struct.unpack_from(bo + "Q", buf, off)
+        ent0, ent_sz, inline = off + 8, 20, 8
+        off_fmt = "Q"
+    else:
+        (off,) = struct.unpack_from(bo + "I", buf, 4)
+        (n,) = struct.unpack_from(bo + "H", buf, off)
+        ent0, ent_sz, inline = off + 2, 12, 4
+        off_fmt = "I"
     tags: dict[int, list] = {}
     for i in range(n):
-        tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, off + 2 + 12 * i)
-        size = _TYPE_SIZES.get(typ, 1) * cnt
-        if size <= 4:
-            data_off = off + 2 + 12 * i + 8
+        if version == 43:
+            tag, typ, cnt = struct.unpack_from(bo + "HHQ", buf, ent0 + ent_sz * i)
         else:
-            (data_off,) = struct.unpack_from(bo + "I", buf, off + 2 + 12 * i + 8)
+            tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, ent0 + ent_sz * i)
+        size = _TYPE_SIZES.get(typ, 1) * cnt
+        if size <= inline:
+            data_off = ent0 + ent_sz * i + (ent_sz - inline)
+        else:
+            (data_off,) = struct.unpack_from(
+                bo + off_fmt, buf, ent0 + ent_sz * i + (ent_sz - inline)
+            )
         if typ in _TYPE_FMT:
             vals = list(struct.unpack_from(bo + str(cnt) + _TYPE_FMT[typ], buf, data_off))
         elif typ == 2:  # ascii
@@ -273,8 +299,8 @@ def tiff_decode(buf: bytes) -> tuple[np.ndarray, dict]:
         bo = ">"
     else:
         raise ValueError("not a TIFF")
-    if struct.unpack_from(bo + "H", buf, 2)[0] != 42:
-        raise ValueError("not a classic TIFF")
+    if struct.unpack_from(bo + "H", buf, 2)[0] not in (42, 43):
+        raise ValueError("not a TIFF (classic 42 / BigTIFF 43)")
     t = _read_ifd(buf, bo)
     w = int(t[TAG_WIDTH][0])
     h = int(t[TAG_HEIGHT][0])
@@ -385,13 +411,16 @@ def tiff_encode(
     tiepoint: tuple | None = None,
     nodata: float | None = None,
     predictor: int = 1,
+    bigtiff: bool = False,
 ) -> bytes:
     """(h, w[, bands]) uint8/16/32, int8/16/32, float32/64 -> little-endian
     classic TIFF (chunky, one strip per 64 rows). `compress`: True/'deflate',
     'lzw', 'packbits', or False/'none'. predictor=2 writes horizontal
     differencing (integer dtypes only); predictor=3 writes floating-point
     byte-shuffle differencing (float dtypes only) — the layouts GDAL
-    commonly emits with DEFLATE/LZW."""
+    commonly emits with DEFLATE/LZW. `bigtiff=True` writes the BigTIFF
+    (version 43) layout — 8-byte offsets/counts, 20-byte IFD entries,
+    LONG8 strip offsets — what GDAL produces for >4 GB rasters."""
     img = np.asarray(img)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -460,13 +489,23 @@ def tiff_encode(
         nd = (repr(float(nodata)) + "\0").encode()
         entries.append((TAG_GDAL_NODATA, 2, len(nd), nd))
     n_strips = len(strips)
-    entries.append((TAG_STRIP_OFFSETS, 4, n_strips, "STRIP_OFFSETS"))
-    entries.append((TAG_STRIP_COUNTS, 4, n_strips, [len(s) for s in strips]))
+    # strip offsets: LONG8 in BigTIFF (the whole point: >4 GB offsets),
+    # LONG in classic
+    off_typ = 16 if bigtiff else 4
+    entries.append((TAG_STRIP_OFFSETS, off_typ, n_strips, "STRIP_OFFSETS"))
+    entries.append((TAG_STRIP_COUNTS, off_typ, n_strips, [len(s) for s in strips]))
     entries.sort(key=lambda e: e[0])
 
-    # layout: header(8) | IFD | overflow values | strip data
-    ifd_off = 8
-    ifd_size = 2 + 12 * len(entries) + 4
+    # layout geometry: classic = 8-byte header, 12-byte entries, 4-byte
+    # inline values / counts / next-pointer; BigTIFF = 16-byte header,
+    # 20-byte entries, all of those 8 bytes
+    if bigtiff:
+        ifd_off, ent_sz, inline, cnt_sz = 16, 20, 8, 8
+        off_pack = "Q"
+    else:
+        ifd_off, ent_sz, inline, cnt_sz = 8, 12, 4, 2
+        off_pack = "I"
+    ifd_size = cnt_sz + ent_sz * len(entries) + inline
     overflow_off = ifd_off + ifd_size
     overflow = bytearray()
 
@@ -480,16 +519,14 @@ def tiff_encode(
         return struct.pack("<" + str(cnt) + fmtc, *vals)
 
     # strip offsets resolved after overflow size is known: two passes
-    placeholder = {}
     packed_entries = []
     for tag, typ, cnt, val in entries:
         if val == "STRIP_OFFSETS":
-            vb = b"\0" * (4 * n_strips)
-            placeholder[tag] = True
+            vb = b"\0" * (_TYPE_SIZES[typ] * n_strips)
         else:
             vb = value_bytes(typ, cnt, val)
-        if len(vb) <= 4:
-            packed_entries.append((tag, typ, cnt, vb.ljust(4, b"\0"), None))
+        if len(vb) <= inline:
+            packed_entries.append((tag, typ, cnt, vb.ljust(inline, b"\0"), None))
         else:
             packed_entries.append((tag, typ, cnt, None, len(overflow)))
             overflow += vb
@@ -500,28 +537,39 @@ def tiff_encode(
     for s in strips:
         offs.append(pos)
         pos += len(s)
-    strip_off_bytes = struct.pack("<" + str(n_strips) + "I", *offs)
+    strip_off_bytes = struct.pack(
+        "<" + str(n_strips) + ("Q" if off_typ == 16 else "I"), *offs
+    )
     # patch: rebuild overflow with real strip offsets
     out_entries = []
     overflow2 = bytearray()
-    for (tag, typ, cnt, inline, ov_pos), (otag, otyp, ocnt, oval) in zip(packed_entries, entries):
+    for (tag, typ, cnt, inl, ov_pos), (otag, otyp, ocnt, oval) in zip(packed_entries, entries):
         if oval == "STRIP_OFFSETS":
             vb = strip_off_bytes
-        elif inline is not None:
-            out_entries.append((tag, typ, cnt, inline))
+        elif inl is not None:
+            out_entries.append((tag, typ, cnt, inl))
             continue
         else:
             vb = value_bytes(otyp, ocnt, oval)
-        if len(vb) <= 4:
-            out_entries.append((tag, typ, cnt, vb.ljust(4, b"\0")))
+        if len(vb) <= inline:
+            out_entries.append((tag, typ, cnt, vb.ljust(inline, b"\0")))
         else:
-            out_entries.append((tag, typ, cnt, struct.pack("<I", overflow_off + len(overflow2))))
+            out_entries.append(
+                (tag, typ, cnt, struct.pack("<" + off_pack, overflow_off + len(overflow2)))
+            )
             overflow2 += vb
     assert len(overflow2) == len(overflow)
 
-    head = b"II" + struct.pack("<HI", 42, ifd_off)
-    ifd = struct.pack("<H", len(out_entries))
-    for tag, typ, cnt, four in out_entries:
-        ifd += struct.pack("<HHI", tag, typ, cnt) + four
-    ifd += struct.pack("<I", 0)
+    if bigtiff:
+        head = b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off)
+        ifd = struct.pack("<Q", len(out_entries))
+        for tag, typ, cnt, inl in out_entries:
+            ifd += struct.pack("<HHQ", tag, typ, cnt) + inl
+        ifd += struct.pack("<Q", 0)
+    else:
+        head = b"II" + struct.pack("<HI", 42, ifd_off)
+        ifd = struct.pack("<H", len(out_entries))
+        for tag, typ, cnt, inl in out_entries:
+            ifd += struct.pack("<HHI", tag, typ, cnt) + inl
+        ifd += struct.pack("<I", 0)
     return head + ifd + bytes(overflow2) + b"".join(strips)

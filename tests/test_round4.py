@@ -214,3 +214,62 @@ def test_mann_whitney_exact_known_r_values():
         np.array([1.0, 1.0, 2.0]), np.array([2.0, 3.0, 4.0]), "less"
     )
     assert 0.0 < res3["p_value"] < 1.0
+
+
+# ----------------------------------------------------------------- BigTIFF
+@pytest.mark.parametrize("compress", ["lzw", "deflate", "none"])
+def test_bigtiff_roundtrip(compress):
+    """BigTIFF (version 43: 8-byte offsets, 20-byte IFD entries, LONG8
+    strip offsets — what GDAL writes for >4 GB rasters) roundtrips
+    bit-exactly, with geo tags, through the same decoder as classic."""
+    rng = np.random.default_rng(29)
+    img = rng.integers(-2000, 2000, (90, 41, 2)).astype(np.int16)
+    buf = geotiff.tiff_encode(img, compress=compress, bigtiff=True,
+                              pixel_scale=(0.5, 0.5, 0),
+                              tiepoint=(0, 0, 0, -120.0, 45.0, 0),
+                              nodata=-9999.0)
+    # header invariants per the BigTIFF spec
+    import struct
+
+    assert buf[:2] == b"II"
+    assert struct.unpack_from("<H", buf, 2)[0] == 43
+    assert struct.unpack_from("<HH", buf, 4) == (8, 0)
+    out, meta = geotiff.tiff_decode(buf)
+    assert out.dtype == img.dtype and (out == img).all()
+    assert meta["nodata"] == -9999.0
+    assert meta["tiepoint"][3:5] == (-120.0, 45.0)
+    # classic encoding of the same pixels decodes identically
+    classic, _ = geotiff.tiff_decode(geotiff.tiff_encode(img, compress=compress))
+    assert (classic == out).all()
+
+
+def test_bigtiff_probe_and_float_predictor3():
+    from gis_scripts_spark.raster import codec
+
+    rng = np.random.default_rng(31)
+    img = rng.normal(0, 10, (65, 29, 1)).astype(np.float32)
+    buf = geotiff.tiff_encode(img, compress="lzw", predictor=3, bigtiff=True)
+    assert codec.probe_dtype(buf, "tif") == np.float32
+    assert codec.probe_shape(buf, "tif") == (65, 29, 1)
+    out, _ = geotiff.tiff_decode(buf)
+    assert np.array_equal(out, img)
+
+
+# ------------------------------------------------------- packed tile ids
+def test_tile_id_bijection_and_spark_parity(spark):
+    """tile_id = (z<<58)|(x<<29)|y is bijective with (z,x,y) and with the
+    quadkey string; the Column flavor matches the numpy flavor row-wise."""
+    from pyspark.sql import functions as F
+
+    from gis_scripts_spark.index import tiles
+    from gis_scripts_spark.operators import tile_assign
+    from gis_scripts_spark.sources import synth
+
+    df = tile_assign.assign_tiles(synth.images_df(spark, 300, parts=4), tile_z=12)
+    pdf = df.select("tile_z", "tile_x", "tile_y", "tile_id", "quadkey").toPandas()
+    want = tiles.tile_id(pdf["tile_x"].to_numpy(), pdf["tile_y"].to_numpy(), 12)
+    assert (pdf["tile_id"].to_numpy() == want).all()
+    for _, r in pdf.head(50).iterrows():
+        z, x, y = tiles.tile_id_to_xyz(r["tile_id"])
+        assert (z, x, y) == (r["tile_z"], r["tile_x"], r["tile_y"])
+        assert tiles.quadkey_to_xyz(r["quadkey"]) == (z, x, y)

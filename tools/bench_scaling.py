@@ -201,6 +201,32 @@ def job_north_table(spark, n: int) -> int:
     return n
 
 
+def job_north_table_packed(spark, n: int) -> int:
+    """north_table with the PRODUCTION identifier layout: the packed int64
+    tile_id ((z<<58)|(x<<29)|y, bijective with quadkey) instead of the
+    12-char quadkey STRING. At 20M rows the string flavor allocates 20M
+    short-lived strings inside codegen — a JVM GC regime that anti-scales
+    at 32 threads on this host (r1 finding); the packed id stays numeric
+    end-to-end. At 10^12 rows no one stores string tile ids — this is the
+    layout the north rule's Iceberg table would use."""
+    from gis_scripts_spark.operators import pip_join, tile_assign
+    from gis_scripts_spark.sources import synth
+
+    images = spark.read.parquet(NTAB_PATH)
+    assigned = tile_assign.assign_tiles(images, grid_z=7, tile_z=12, s2_level=12)
+    keys = assigned.select("image_id", "lon", "lat", "tile_id", "s2_cell", "phash")
+    polys = synth.aoi_polygons_df(spark)
+    joined = pip_join.pip_join(keys, polys, z=9)
+    agg = joined.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.pmod(F.col("phash"), F.lit(997))).alias("phash_sum"),
+        F.sum(F.pmod(F.col("tile_id"), F.lit(99991))).alias("tile_sum"),
+        F.min("s2_cell").alias("s2_min"),
+    )
+    agg.write.format("noop").mode("overwrite").save()
+    return n
+
+
 def _set_tree_affinity(cpus: set) -> None:
     """Pin THIS process and every live descendant (driver JVM, executor
     JVMs, pyspark daemons) to `cpus`. Needed because pyspark reuses the
@@ -351,15 +377,20 @@ def main() -> None:
     global IMG_PARTS, NTAB_PATH
     IMG_PARTS = args.img_parts
     wanted = set(args.jobs.split(","))
-    if "north_table" in wanted or "north_table_large" in wanted:
+    if wanted & {"north_table", "north_table_large", "north_table_packed"}:
         from gis_scripts_spark.session import get_spark, stop_spark
         from gis_scripts_spark.sources import synth as synth_mod
 
         NTAB_PATH = f"/tmp/scaling_ntab_{args.images}_{IMG_PARTS}"
         if not os.path.exists(os.path.join(NTAB_PATH, "_SUCCESS")):
             stop_spark()
-            sp = get_spark("ntab-prep", cores=16)
-            synth_mod.images_df(sp, args.images, parts=IMG_PARTS).write.mode(
+            sp = get_spark("ntab-prep", cores=32)
+            # tens-of-millions-row tables use the 32px image profile so the
+            # real encoded bytes fit sandbox disk (~1.5 KB/row vs ~10 KB);
+            # the measured query prunes `bytes`, so timing is unaffected
+            sizes = (32,) if args.images > 1_000_000 else synth_mod._SIZES
+            synth_mod.images_df(sp, args.images, parts=IMG_PARTS,
+                                sizes=sizes).write.mode(
                 "overwrite").parquet(NTAB_PATH)
             stop_spark()
     c_n, c_4n = args.n_cores, args.n4_cores
@@ -383,6 +414,7 @@ def main() -> None:
         # above the ~4s fixed-cost floor, so the efficiency number is a
         # property of the plan, not of scheduling constants
         ("north_table_large", job_north_table, args.images, 8192),
+        ("north_table_packed", job_north_table_packed, args.images, 8192),
     ):
         if name not in wanted:
             continue

@@ -37,9 +37,28 @@ def worker(rows: int, reps: int, out_q) -> None:
     out_q.put((rows * reps, time.perf_counter() - t0, acc))
 
 
-def run_level(procs: int, rows: int, reps: int) -> float:
+def worker_s2(rows: int, reps: int, out_q) -> None:
+    """The north_table job's dominant Python stage: the engine's own
+    vectorized S2 cell_id kernel (index/s2.py) over private lon/lat
+    arrays — the no-Spark ceiling for the assign stage's UDF hop.
+    NOTE: the module (incl. its lookup tables) is imported by the PARENT
+    before forking, so no per-worker import storm is inside the timing."""
+    from gis_scripts_spark.index import s2 as s2_mod
+
+    ids = np.arange(rows, dtype=np.int64)
+    lon = -180.0 + ((ids * 2654435761) % 360000).astype(np.float64) / 1000.0
+    lat = -60.0 + ((ids * 97643) % 120000).astype(np.float64) / 1000.0
+    t0 = time.perf_counter()
+    acc = 0
+    for _ in range(reps):
+        cells = s2_mod.cell_id(lat, lon, level=12)
+        acc += int(cells[::65536].sum())
+    out_q.put((rows * reps, time.perf_counter() - t0, acc))
+
+
+def run_level(procs: int, rows: int, reps: int, fn=worker) -> float:
     q = mp.Queue()
-    ps = [mp.Process(target=worker, args=(rows, reps, q)) for _ in range(procs)]
+    ps = [mp.Process(target=fn, args=(rows, reps, q)) for _ in range(procs)]
     t0 = time.perf_counter()
     for p in ps:
         p.start()
@@ -58,15 +77,26 @@ def main() -> None:
     ap.add_argument("--rows-per-proc", type=int, default=8_000_000)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--levels", type=str, default="8,32")
+    ap.add_argument("--kernel", type=str, default="points", choices=["points", "s2"])
     args = ap.parse_args()
+    kfn = worker
+    if args.kernel == "s2":
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        from gis_scripts_spark.index import s2 as _s2  # parent-side import: forked workers inherit
+
+        _s2.cell_id(np.array([1.0]), np.array([2.0]), level=12)  # build tables once
+        kfn = worker_s2
     levels = [int(x) for x in args.levels.split(",")]
     out = {}
     for lv in levels:
         # warm + best-of-2
         best = 0.0
         for _ in range(2):
-            best = max(best, run_level(lv, args.rows_per_proc, args.reps))
+            best = max(best, run_level(lv, args.rows_per_proc, args.reps, fn=kfn))
         out[f"rows_per_sec_{lv}procs"] = round(best, 1)
+    out["kernel"] = args.kernel
     if len(levels) == 2:
         a, b = levels
         eff = (out[f"rows_per_sec_{b}procs"] / out[f"rows_per_sec_{a}procs"]) / (b / a)
