@@ -80,9 +80,11 @@ def coverage_join(
     `broadcast_candidates="auto"` (default) is the safety valve the r3
     advice asked for: an unconditional F.broadcast hint bypasses
     autoBroadcastJoinThreshold and would OOM the driver on a huge
-    candidate set. Auto persists the (tiny-schema) candidate frame, counts
-    it, and broadcasts ONLY when count <= max_broadcast_candidates —
-    the count reuses the cached frame, so the cover UDF still runs once.
+    candidate set. Auto gates on the worst-case bound |footprints| x
+    |rects| first (two metadata-only counts — the cover UDF does NOT run,
+    so the common small case pays ~nothing); only when that bound exceeds
+    `max_broadcast_candidates` does it materialize + exact-count the
+    candidate frame (persisted, so the work is reused by the join).
     Pass True/False to force either plan shape explicitly."""
     cov = _cover_wkb_udf(z)
     fp_src = footprints_df.select(
@@ -134,11 +136,22 @@ def coverage_join(
         .select("_fid", "_rid", "x_min", "y_min", "x_max", "y_max")
         .dropDuplicates(["_fid", "_rid"])  # ids+bbox only in this Exchange
     )
+    auto_counted = False
     if broadcast_candidates == "auto":
         import weakref
 
-        cand = cand.persist()
-        do_broadcast = cand.count() <= max_broadcast_candidates
+        # cheap gate first: |footprints| x |rects| bounds the dedup'd
+        # candidate count from above, and both are metadata-only counts
+        # (no cover UDF runs). Only when that worst case exceeds the
+        # ceiling do we pay an exact count of the materialized candidates.
+        n_fp = footprints_df.select(fp_id).count()
+        n_rects = rects_df.count()
+        if n_fp * n_rects <= max_broadcast_candidates:
+            do_broadcast = True
+        else:
+            cand = cand.persist()
+            auto_counted = True
+            do_broadcast = cand.count() <= max_broadcast_candidates
     else:
         do_broadcast = bool(broadcast_candidates)
     cand_side = F.broadcast(cand) if do_broadcast else cand
@@ -151,7 +164,7 @@ def coverage_join(
         out.filter(F.col("coverage") > min_coverage)
         .select(F.col("_fid").alias(fp_id), F.col("_rid").alias(rect_id), "coverage")
     )
-    if broadcast_candidates == "auto":
+    if auto_counted:
         # release the candidate cache when the result frame is dropped
         # (unpersisting earlier would invalidate the dependent cached plan)
         def _release(c=cand):

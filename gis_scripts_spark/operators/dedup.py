@@ -281,6 +281,10 @@ def simhash_pairs(
 
     Returns (id_a, id_b, hamming)."""
     sim = simhash_udf(shingle_n, hash_fn)
+    # (measured: repartitioning the scan before the UDF costs more than it
+    # buys here — the 64-bit fold per doc is ~13us, so the candidate join
+    # dominates; the fingerprint/minhash shingle ops are the ones that
+    # need the pre-UDF spread)
     base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")).withColumn(
         "_sh", sim(F.col("_t"))
     )

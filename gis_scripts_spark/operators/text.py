@@ -144,6 +144,13 @@ def md5_fingerprints(
     text length (the standard shingle expansion), and the min-agg combines
     map-side, so shuffle volume is one row per document."""
     w = window
+    # per-row-EXPENSIVE op (up to ~4k shingle md5s per doc): a small scan
+    # (one parquet file = one task) would serialize all of it on one core.
+    # One cheap row-shuffle of the raw docs unlocks slot-count parallelism;
+    # at real table sizes (scan partitions >= slots) this is a no-op.
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        df = df.repartition(sc.defaultParallelism)
     # explicit whitespace class: Java \s and RE2 \s disagree on \x0B, and
     # the DuckDB oracle must normalize identically
     norm = F.substring(

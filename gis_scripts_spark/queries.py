@@ -751,7 +751,13 @@ def q_coverage_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in nations
         ]
     )
-    out = cj.coverage_join(fp_df, spark.createDataFrame(rects), z=6, rect_id="aoi_id")
+    # broadcast_candidates=True (explicit force): this query statically
+    # knows its dims — 25 AOI rects x |supplier| footprints bounds the
+    # candidate set far under any broadcast ceiling, and the auto gate's
+    # counting jobs would re-run part of the WKB-build pipeline for an
+    # answer we already know. Library callers keep the safe "auto".
+    out = cj.coverage_join(fp_df, spark.createDataFrame(rects), z=6,
+                           rect_id="aoi_id", broadcast_candidates=True)
     return out.select("image_id", "aoi_id", F.round("coverage", 4).alias("coverage"))
 
 
