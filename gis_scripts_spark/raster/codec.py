@@ -214,6 +214,23 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
     raise ValueError("unknown image format")
 
 
+def decode_window(
+    buf: bytes, fmt: str | None, x0: int, y0: int, w: int, h: int
+) -> np.ndarray:
+    """Windowed decode: pixels [y0:y0+h, x0:x0+w] only. For TIFF this is
+    the COG access path — only the strips/tiles intersecting the window
+    are decompressed (see geotiff.tiff_decode_window), so cropping 256 px
+    from a multi-GB raster does bounded work. Other codecs (PNG/QNT/RAW —
+    whole-image zlib streams with no random access by design) decode
+    fully and crop."""
+    head = bytes(buf[:8])
+    if fmt in ("tif", "tiff", "gtiff") or head[:2] in (b"II", b"MM"):
+        from gis_scripts_spark.raster import geotiff
+
+        return geotiff.tiff_decode_window(bytes(buf), x0, y0, w, h)[0]
+    return decode(buf, fmt)[y0 : y0 + h, x0 : x0 + w]
+
+
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)

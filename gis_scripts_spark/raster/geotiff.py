@@ -387,6 +387,117 @@ def tiff_decode(buf: bytes) -> tuple[np.ndarray, dict]:
     return undo_predictor(img), _geo_meta(t)
 
 
+def tiff_decode_window(
+    buf: bytes,
+    x0: int,
+    y0: int,
+    win_w: int,
+    win_h: int,
+    _stats: dict | None = None,
+) -> tuple[np.ndarray, dict]:
+    """COG-style WINDOWED decode: return only pixels [y0:y0+win_h,
+    x0:x0+win_w], decompressing ONLY the strips/tiles that intersect the
+    window. This is the access pattern that makes Cloud-Optimized GeoTIFF
+    work at scale — cropping 256 px out of a multi-GB raster must not
+    decode (or even touch) the other 99.99% of blocks. Handles every
+    layout the full decoder does (classic + BigTIFF, strips + tiles,
+    none/LZW/DEFLATE/PackBits, predictor 1/2/3) — predictors are
+    row-local within a block, so partial decode stays exact.
+
+    `_stats`, if given, records {"blocks_decoded", "blocks_total"} so
+    callers/tests can assert the bounded-work property.
+    """
+    buf = bytes(buf)
+    bo = "<" if buf[:2] == b"II" else ">" if buf[:2] == b"MM" else None
+    if bo is None:
+        raise ValueError("not a TIFF")
+    t = _read_ifd(buf, bo)
+    w = int(t[TAG_WIDTH][0])
+    h = int(t[TAG_HEIGHT][0])
+    spp = int(t.get(TAG_SAMPLES_PER_PIXEL, [1])[0])
+    bits = int(t.get(TAG_BITS, [8])[0])
+    comp = int(t.get(TAG_COMPRESSION, [1])[0])
+    fmt = int(t.get(TAG_SAMPLE_FORMAT, [1])[0])
+    if int(t.get(TAG_PLANAR, [1])[0]) != 1:
+        raise ValueError("only chunky planar config supported")
+    predictor = int(t.get(TAG_PREDICTOR, [1])[0])
+    dt = _dtype_of(bits, fmt, bo)
+    if not (0 <= x0 and 0 <= y0 and x0 + win_w <= w and y0 + win_h <= h):
+        raise ValueError(f"window [{x0}:{x0+win_w}) x [{y0}:{y0+win_h}) outside {w}x{h}")
+
+    def unpack(raw: bytes) -> bytes:
+        if comp in (8, 32946):
+            return zlib.decompress(raw)
+        if comp == 5:
+            return lzw_decode(raw)
+        if comp == 32773:
+            return packbits_decode(raw)
+        if comp == 1:
+            return raw
+        raise NotImplementedError(f"TIFF compression {comp} not supported")
+
+    def block_rows(data: bytes, n_rows: int, row_vals: int) -> np.ndarray:
+        """One decompressed block -> (n_rows, row_vals) native values with
+        the predictor undone (predictors reset at each block's left edge)."""
+        if predictor == 3:
+            bps = dt.itemsize
+            raw = np.frombuffer(data, np.uint8, count=n_rows * row_vals * bps)
+            be = _fp3_decode_rows(raw.reshape(n_rows, row_vals * bps), bps, spp)
+            return np.frombuffer(be.tobytes(), np.dtype(f">f{bps}")).reshape(
+                n_rows, row_vals
+            ).astype(dt.newbyteorder("="))
+        arr = np.frombuffer(data, dt, count=n_rows * row_vals).reshape(n_rows, row_vals)
+        arr = arr.astype(dt.newbyteorder("="))
+        if predictor == 2:
+            samples = arr.reshape(n_rows, row_vals // spp, spp)
+            samples = np.cumsum(samples.astype(np.int64), axis=1).astype(arr.dtype)
+            arr = samples.reshape(n_rows, row_vals)
+        return arr
+
+    out = np.zeros((win_h, win_w, spp), dt.newbyteorder("="))
+    decoded = 0
+    if TAG_TILE_OFFSETS in t:
+        tw = int(t[TAG_TILE_WIDTH][0])
+        th = int(t[TAG_TILE_LENGTH][0])
+        tiles_x = (w + tw - 1) // tw
+        offs, cnts = t[TAG_TILE_OFFSETS], t[TAG_TILE_COUNTS]
+        tx0, tx1 = x0 // tw, (x0 + win_w - 1) // tw
+        ty0, ty1 = y0 // th, (y0 + win_h - 1) // th
+        for ty in range(ty0, ty1 + 1):
+            for tx in range(tx0, tx1 + 1):
+                idx = ty * tiles_x + tx
+                data = unpack(buf[int(offs[idx]) : int(offs[idx]) + int(cnts[idx])])
+                decoded += 1
+                arr = block_rows(data, th, tw * spp).reshape(th, tw, spp)
+                gy0, gx0 = ty * th, tx * tw  # tile origin in image coords
+                sy0 = max(y0, gy0) - gy0
+                sy1 = min(y0 + win_h, gy0 + th) - gy0
+                sx0 = max(x0, gx0) - gx0
+                sx1 = min(x0 + win_w, gx0 + tw) - gx0
+                out[
+                    gy0 + sy0 - y0 : gy0 + sy1 - y0, gx0 + sx0 - x0 : gx0 + sx1 - x0
+                ] = arr[sy0:sy1, sx0:sx1]
+        total = len(offs)
+    else:
+        rps = int(t.get(TAG_ROWS_PER_STRIP, [h])[0])
+        offs, cnts = t[TAG_STRIP_OFFSETS], t[TAG_STRIP_COUNTS]
+        s0, s1 = y0 // rps, (y0 + win_h - 1) // rps
+        for s in range(s0, s1 + 1):
+            data = unpack(buf[int(offs[s]) : int(offs[s]) + int(cnts[s])])
+            decoded += 1
+            n_rows = min(rps, h - s * rps)
+            arr = block_rows(data, n_rows, w * spp).reshape(n_rows, w, spp)
+            gy0 = s * rps
+            sy0 = max(y0, gy0) - gy0
+            sy1 = min(y0 + win_h, gy0 + n_rows) - gy0
+            out[gy0 + sy0 - y0 : gy0 + sy1 - y0, :] = arr[sy0:sy1, x0 : x0 + win_w]
+        total = len(offs)
+    if _stats is not None:
+        _stats["blocks_decoded"] = decoded
+        _stats["blocks_total"] = int(total)
+    return out, _geo_meta(t)
+
+
 def _geo_meta(t: dict) -> dict:
     meta: dict = {}
     if TAG_MODEL_PIXEL_SCALE in t:

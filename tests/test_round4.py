@@ -273,3 +273,126 @@ def test_tile_id_bijection_and_spark_parity(spark):
         z, x, y = tiles.tile_id_to_xyz(r["tile_id"])
         assert (z, x, y) == (r["tile_z"], r["tile_x"], r["tile_y"])
         assert tiles.quadkey_to_xyz(r["quadkey"]) == (z, x, y)
+
+
+# -------------------------------------------------- COG windowed decode
+def _build_tiled_tiff(img, tw, th, compress="deflate"):
+    """Independent minimal TILED TIFF writer (test-side, little-endian,
+    uint8/int16, chunky) — exercises the codec's tile path from a writer
+    that shares no code with tiff_encode."""
+    import struct
+    import zlib as _zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, spp = img.shape
+    dt = img.dtype
+    fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    tiles = []
+    for ty in range((h + th - 1) // th):
+        for tx in range((w + tw - 1) // tw):
+            block = np.zeros((th, tw, spp), dt)
+            sub = img[ty * th : ty * th + th, tx * tw : tx * tw + tw]
+            block[: sub.shape[0], : sub.shape[1]] = sub
+            raw = np.ascontiguousarray(block.astype(dt.newbyteorder("<"))).tobytes()
+            tiles.append(_zlib.compress(raw) if compress == "deflate" else raw)
+    comp_code = 8 if compress == "deflate" else 1
+    entries = [
+        (256, 4, 1, [w]), (257, 4, 1, [h]), (258, 3, spp, [dt.itemsize * 8] * spp),
+        (259, 3, 1, [comp_code]), (262, 3, 1, [1]), (277, 3, 1, [spp]),
+        (284, 3, 1, [1]), (322, 4, 1, [tw]), (323, 4, 1, [th]),
+        (324, 4, len(tiles), "OFFS"), (325, 4, len(tiles), [len(b) for b in tiles]),
+        (339, 3, spp, [fmt] * spp),
+    ]
+    entries.sort()
+    ifd_sz = 2 + 12 * len(entries) + 4
+    overflow = bytearray()
+    fmtc = {3: "H", 4: "I"}
+    packed = []
+    # first pass with placeholder offsets
+    data_off_guess = 8 + ifd_sz
+    # compute overflow size
+    for tag, typ, cnt, val in entries:
+        size = {3: 2, 4: 4}[typ] * cnt
+        if size > 4:
+            data_off_guess += size
+    offs = []
+    pos = data_off_guess
+    for b in tiles:
+        offs.append(pos)
+        pos += len(b)
+    ov_pos = 8 + ifd_sz
+    for tag, typ, cnt, val in entries:
+        vals = offs if val == "OFFS" else val
+        vb = struct.pack("<" + str(cnt) + fmtc[typ], *vals)
+        if len(vb) <= 4:
+            packed.append((tag, typ, cnt, vb.ljust(4, b"\0")))
+        else:
+            packed.append((tag, typ, cnt, struct.pack("<I", ov_pos)))
+            overflow += vb
+            ov_pos += len(vb)
+    out = b"II" + struct.pack("<HI", 42, 8) + struct.pack("<H", len(packed))
+    for tag, typ, cnt, four in packed:
+        out += struct.pack("<HHI", tag, typ, cnt) + four
+    out += struct.pack("<I", 0) + bytes(overflow) + b"".join(tiles)
+    return out
+
+
+def test_tiled_tiff_full_decode_matches():
+    rng = np.random.default_rng(37)
+    img = rng.integers(-999, 999, (70, 90, 2)).astype(np.int16)
+    buf = _build_tiled_tiff(img, 32, 32)
+    out, _ = geotiff.tiff_decode(buf)
+    assert (out == img).all()
+
+
+@pytest.mark.parametrize("compress", ["lzw", "deflate", "packbits", "none"])
+@pytest.mark.parametrize("predictor,dtype", [(1, np.uint8), (2, np.int16), (3, np.float32)])
+def test_windowed_decode_strips(compress, predictor, dtype):
+    """Windowed decode == full-decode crop, touching only the strips that
+    intersect the window (the COG bounded-work property)."""
+    if predictor == 3 and compress == "packbits":
+        pytest.skip("combination not emitted by writers")
+    rng = np.random.default_rng(41)
+    if np.issubdtype(dtype, np.integer):
+        img = rng.integers(np.iinfo(dtype).min // 2, np.iinfo(dtype).max // 2,
+                           (300, 45, 2)).astype(dtype)
+    else:
+        img = rng.normal(0, 100, (300, 45, 2)).astype(dtype)
+    buf = geotiff.tiff_encode(img, compress=compress, predictor=predictor)
+    stats = {}
+    win, _ = geotiff.tiff_decode_window(buf, 10, 130, 20, 40, _stats=stats)
+    assert np.array_equal(win, img[130:170, 10:30], equal_nan=True)
+    # 300 rows / 64-row strips = 5 strips; rows 130-169 live in strips 2
+    assert stats["blocks_total"] == 5
+    assert stats["blocks_decoded"] == 1
+
+
+def test_windowed_decode_tiles():
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 255, (96, 128, 3)).astype(np.uint8)
+    buf = _build_tiled_tiff(img, 32, 32, compress="deflate")
+    stats = {}
+    win, _ = geotiff.tiff_decode_window(buf, 40, 40, 30, 20, _stats=stats)
+    assert (win == img[40:60, 40:70]).all()
+    # 3x4 tile grid = 12 tiles; window [40,70)x[40,60) spans tile cols 1-2, row 1
+    assert stats["blocks_total"] == 12
+    assert stats["blocks_decoded"] == 2
+
+
+def test_windowed_decode_rejects_out_of_bounds():
+    img = np.zeros((50, 50), np.uint8)
+    buf = geotiff.tiff_encode(img)
+    with pytest.raises(ValueError, match="outside"):
+        geotiff.tiff_decode_window(buf, 40, 40, 20, 20)
+
+
+def test_codec_decode_window_dispatch():
+    from gis_scripts_spark.raster import codec
+
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 255, (80, 60, 3)).astype(np.uint8)
+    tif = codec.encode(img, "tif")
+    png = codec.png_encode(img)
+    assert (codec.decode_window(tif, "tif", 5, 10, 20, 30) == img[10:40, 5:25]).all()
+    assert (codec.decode_window(png, "png", 5, 10, 20, 30) == img[10:40, 5:25]).all()

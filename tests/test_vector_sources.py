@@ -223,3 +223,64 @@ def test_shapefiles_with_attrs_rejects_non_shp_glob(spark):
 
     with _pytest.raises(ValueError, match=r"must end in \.shp"):
         vector.read_shapefiles_with_attrs(spark, "/tmp/nope/*.gpkg")
+
+
+def test_geoparquet_roundtrip_and_pip_join(spark, tmp_path):
+    """GeoParquet source (round 4): write AOI polygons as spec-compliant
+    GeoParquet (WKB geometry + `geo` footer JSON), read back with footer
+    metadata, and drive the engine's PIP join end-to-end from it."""
+    import pandas as pd
+
+    from gis_scripts_spark.geom import wkb as wkb_mod
+    from gis_scripts_spark.operators import pip_join, tile_assign
+    from gis_scripts_spark.sources import geoparquet, synth
+
+    polys = pd.DataFrame(
+        {
+            "poly_id": ["p0", "p1"],
+            "wkb": [
+                bytearray(wkb_mod.bbox_to_wkb(-10.0, -10.0, 10.0, 10.0)),
+                bytearray(wkb_mod.bbox_to_wkb(20.0, 20.0, 40.0, 35.0)),
+            ],
+            "class_name": ["a", "b"],
+        }
+    )
+    path = str(tmp_path / "aoi_gpq")
+    geoparquet.write_geoparquet(
+        spark.createDataFrame(polys), path, geometry_col="wkb",
+        crs={"id": {"authority": "OGC", "code": "CRS84"}},
+    )
+    df, meta = geoparquet.read_geoparquet(spark, path)
+    assert meta.primary_column == "wkb"
+    assert meta.crs()["id"]["code"] == "CRS84"
+    got = df.orderBy("poly_id").toPandas()
+    assert list(got["poly_id"]) == ["p0", "p1"]
+    assert bytes(got["wkb"][0]) == bytes(polys["wkb"][0])
+    # end-to-end: GeoParquet layer -> PIP join against synthetic images
+    imgs = tile_assign.assign_tiles(synth.images_df(spark, 200, parts=4))
+    keys = imgs.select("image_id", "lon", "lat", "quadkey")
+    joined = pip_join.pip_join(keys, df, z=6).toPandas()
+    # brute-force oracle on the two rectangles
+    pts = imgs.select("image_id", "lon", "lat").toPandas()
+    want = set()
+    for _, r in pts.iterrows():
+        if -10 <= r["lon"] < 10 and -10 <= r["lat"] < 10:
+            want.add((r["image_id"], "p0"))
+        if 20 <= r["lon"] < 40 and 20 <= r["lat"] < 35:
+            want.add((r["image_id"], "p1"))
+    got_pairs = set(zip(joined["image_id"], joined["poly_id"]))
+    assert got_pairs == want
+
+
+def test_geoparquet_rejects_non_geo_parquet(spark, tmp_path):
+    import pytest as _pytest
+
+    from gis_scripts_spark.sources import geoparquet
+
+    p = str(tmp_path / "plain")
+    spark.range(3).write.parquet(p)
+    import os
+
+    f = [x for x in os.listdir(p) if x.endswith(".parquet")][0]
+    with _pytest.raises(ValueError, match="geo"):
+        geoparquet.read_geoparquet_meta(os.path.join(p, f))
