@@ -146,7 +146,8 @@ def pip_join(
     lat: str = "lat",
     poly_id: str = "poly_id",
     wkb_col: str = "wkb",
-    broadcast_cover: bool = True,
+    broadcast_cover: bool | str = "auto",
+    max_broadcast_polys: int = 100_000,
     salt: int | None = None,
     hot_cells: list[int] | None = None,
 ) -> DataFrame:
@@ -156,6 +157,12 @@ def pip_join(
 
     `broadcast_cover=True`: cover table is broadcast (AOI layers). False:
     shuffle-hash equi-join on cell, WKB carried through the join.
+    "auto" (default) is the OOM safety valve: the broadcast path needs a
+    driver collect of the polygon rows anyway, so auto makes that collect
+    BOUNDED (`limit(max_broadcast_polys + 1)`) — zero extra jobs when the
+    layer is an AOI/admin dim (the common case), and a clean fallback to
+    the shuffle-hash path when the table is too big to ship to the
+    driver (10^6+ polygon layers).
 
     `salt` + `hot_cells`: replicate cover rows of hot cells `salt` ways and
     spread their points across replicas via a deterministic hash — the skew
@@ -167,12 +174,20 @@ def pip_join(
         z = auto_zoom(polys_df, wkb_col)
 
     rows = None
+    if broadcast_cover == "auto":
+        rows = polys_df.select(poly_id, wkb_col).limit(max_broadcast_polys + 1).collect()
+        if len(rows) > max_broadcast_polys:
+            rows = None
+            broadcast_cover = False  # too big to drive: shuffle-hash path
+        else:
+            broadcast_cover = True
+    elif broadcast_cover:
+        rows = polys_df.select(poly_id, wkb_col).collect()
     if broadcast_cover:
         # the AOI layer is static dimension data: build its cover ONCE per
         # (polygon content, z) and reuse across queries — the cover is the
         # analogue of a prepared dimension index, not per-query work. The
-        # collect below is required by the broadcast path anyway.
-        rows = polys_df.select(poly_id, wkb_col).collect()
+        # collect above is required by the broadcast path anyway.
         key = (z, tuple(sorted((r[0], hashlib.md5(bytes(r[1])).hexdigest()) for r in rows)))
         cached = _COVER_CACHE.get(key)
         if cached is None:

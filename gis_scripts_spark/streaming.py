@@ -95,6 +95,32 @@ def stream_exact_dedup(
     return hashed.dropDuplicates(["_text_md5"])
 
 
+def stream_windowed_zonal_counts(
+    joined: DataFrame,
+    ts_col: str = "ts",
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed zonal rollup with late-data handling — the
+    standard Structured Streaming pattern the reference's batch zonal
+    tables have no answer to: per (event-time window, polygon) image
+    counts, with a watermark bounding state. Late events inside the
+    watermark still land in their window; events later than the
+    watermark are dropped (finalized windows are emitted EXACTLY once in
+    append mode — safe for file sinks).
+
+    Returns (window_start, window_end, poly_id, n_images)."""
+    w = joined.withWatermark(ts_col, watermark).groupBy(
+        F.window(F.col(ts_col), window), F.col("poly_id")
+    ).agg(F.count(F.lit(1)).alias("n_images"))
+    return w.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "poly_id",
+        "n_images",
+    )
+
+
 def stream_running_zonal_counts(joined: DataFrame) -> DataFrame:
     """Custom STATEFUL streaming operator (applyInPandasWithState): a
     running per-polygon image counter with first/last image ids,

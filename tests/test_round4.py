@@ -396,3 +396,39 @@ def test_codec_decode_window_dispatch():
     png = codec.png_encode(img)
     assert (codec.decode_window(tif, "tif", 5, 10, 20, 30) == img[10:40, 5:25]).all()
     assert (codec.decode_window(png, "png", 5, 10, 20, 30) == img[10:40, 5:25]).all()
+
+
+def test_pip_join_auto_falls_back_to_shuffle(spark):
+    """Round-4 safety valve: pip_join's broadcast path drives the polygon
+    rows through a BOUNDED collect; past max_broadcast_polys it falls
+    back to the shuffle-hash path — and both paths return identical
+    pairs."""
+    import pandas as pd
+
+    from gis_scripts_spark.geom import wkb as wkb_mod
+    from gis_scripts_spark.operators import pip_join, tile_assign
+    from gis_scripts_spark.sources import synth
+
+    polys = pd.DataFrame(
+        {
+            "poly_id": [f"p{i}" for i in range(6)],
+            "wkb": [
+                bytearray(wkb_mod.bbox_to_wkb(-60.0 + 18 * i, -20.0, -50.0 + 18 * i, 15.0))
+                for i in range(6)
+            ],
+        }
+    )
+    polys_df = spark.createDataFrame(polys)
+    pts = tile_assign.assign_tiles(synth.images_df(spark, 400, parts=4)).select(
+        "image_id", "lon", "lat"
+    )
+
+    def pairs(**kw):
+        out = pip_join.pip_join(pts, polys_df, z=6, **kw).toPandas()
+        return set(zip(out["image_id"], out["poly_id"]))
+
+    a = pairs()  # auto: 6 polys <= ceiling -> broadcast
+    b = pairs(max_broadcast_polys=2)  # auto: bounded collect overflows -> shuffle
+    c = pairs(broadcast_cover=False)  # explicit shuffle
+    assert a == b == c
+    assert len(a) > 0

@@ -178,3 +178,68 @@ def test_stream_dedup_watermarked_key_only(spark, tmp_path):
     q.awaitTermination()
     got = spark.read.parquet(sink).toPandas()
     assert sorted(got["text"]) == ["aaa", "bbb"], got
+
+
+def test_stream_windowed_zonal_counts(spark, tmp_path):
+    """Watermarked event-time windows (round 4): counts land in their
+    event-time window (not arrival order), in-watermark late data is
+    merged before the window finalizes, and append mode emits each
+    finalized window exactly once."""
+    import datetime
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    src = str(tmp_path / "wz_src")
+    sink = str(tmp_path / "wz_sink")
+    ckpt = str(tmp_path / "wz_ckpt")
+    os.makedirs(src)
+    schema = StructType([
+        StructField("image_id", StringType(), False),
+        StructField("poly_id", StringType(), False),
+        StructField("ts", TimestampType(), False),
+    ])
+    t = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    m = datetime.timedelta(minutes=1)
+
+    def run_pass():
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+        out = streaming.stream_windowed_zonal_counts(
+            stream, ts_col="ts", window="10 minutes", watermark="30 minutes")
+        q = (out.writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).outputMode("append").start())
+        q.awaitTermination()
+
+    # batch 1: three in [12:00,12:10), one "late-but-in-watermark" comes later
+    spark.createDataFrame(pd.DataFrame({
+        "image_id": ["a", "b", "c"],
+        "poly_id": ["P", "P", "Q"],
+        "ts": [t + 1 * m, t + 3 * m, t + 5 * m],
+    }), schema=schema).write.parquet(os.path.join(src, "b1"))
+    run_pass()
+
+    # batch 2: a LATE event for the same window (watermark still open:
+    # max_ts 12:05 - 30min << 12:00) plus nothing advancing time
+    spark.createDataFrame(pd.DataFrame({
+        "image_id": ["d"], "poly_id": ["P"], "ts": [t + 2 * m],
+    }), schema=schema).write.parquet(os.path.join(src, "b2"))
+    run_pass()
+
+    # batch 3: far-future event advances the watermark past 12:10 ->
+    # the [12:00,12:10) windows finalize and are appended exactly once
+    spark.createDataFrame(pd.DataFrame({
+        "image_id": ["z"], "poly_id": ["Q"], "ts": [t + 120 * m],
+    }), schema=schema).write.parquet(os.path.join(src, "b3"))
+    run_pass()
+    run_pass()  # no new data: nothing further emitted
+
+    got = spark.read.parquet(sink).toPandas().sort_values(["poly_id"])
+    w1 = got[got["window_start"] == t]
+    assert len(w1) == 2, got
+    assert dict(zip(w1["poly_id"], w1["n_images"])) == {"P": 3, "Q": 1}
