@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "revenue_by_nation",
     "tile_assign",
     "pip_pairs",
+    "geoparquet_pip",
     "pip_counts",
     "grid_agg_mean_of_means",
     "knn_k5",

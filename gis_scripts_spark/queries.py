@@ -209,6 +209,43 @@ FROM pts JOIN rects
 """
 
 
+def q_geoparquet_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join whose polygon layer comes from a GEOPARQUET file (round-4
+    source, `sources/geoparquet.py` — the cloud-native vector format):
+    the AOI rect polygons are published once as spec-compliant GeoParquet
+    (WKB geometry + `geo` footer JSON; deterministic /tmp fixture keyed
+    by sf_dir), read back through the distributed parquet scan + footer
+    metadata parse, and PIP-joined against supplier-derived points.
+    FULL oracle: DuckDB recomputes the identical rects from `nation` —
+    the format roundtrip is exactly what the hash compare certifies."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from gis_scripts_spark.sources import geoparquet as gpq
+
+    path = f"/tmp/gpq_aoi_{_hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        gpq.write_geoparquet(
+            _aoi_polys_df(spark, sf_dir), path, geometry_col="wkb",
+            crs={"id": {"authority": "OGC", "code": "CRS84"}},
+        )
+    polys, meta = gpq.read_geoparquet(spark, path)
+    assert meta.primary_column == "wkb"
+    sup = derived_lonlat(_pq(spark, sf_dir, "supplier"), "s_suppkey")
+    joined = pip_join.pip_join(sup, polys, z=7)
+    return joined.select("s_suppkey", "poly_id")
+
+
+SQL_GEOPARQUET_PIP = f"""
+WITH pts AS (SELECT s_suppkey, {_SQL_LON.format(k='s_suppkey')} AS lon,
+                    {_SQL_LAT.format(k='s_suppkey')} AS lat FROM supplier),
+rects AS ({_SQL_NATION_RECTS})
+SELECT s_suppkey, poly_id
+FROM pts JOIN rects
+  ON lon > x0 AND lon < x1 AND lat > y0 AND lat < y1
+"""
+
+
 def q_pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIP join + per-polygon rollup (zonal count, Assess_Agreement.R:52-57)."""
     pairs = q_pip_pairs(spark, sf_dir)
@@ -1078,6 +1115,7 @@ QUERIES: dict = {
     "revenue_by_nation": q_revenue_by_nation,
     "tile_assign": q_tile_assign,
     "pip_pairs": q_pip_pairs,
+    "geoparquet_pip": q_geoparquet_pip,
     "pip_counts": q_pip_counts,
     "grid_agg_mean_of_means": q_grid_agg,
     "knn_k5": q_knn,
@@ -1116,6 +1154,7 @@ ORACLES: dict[str, str] = {
     "revenue_by_nation": SQL_REVENUE,
     "tile_assign": _sql_tile_assign(),
     "pip_pairs": SQL_PIP_PAIRS,
+    "geoparquet_pip": SQL_GEOPARQUET_PIP,
     "pip_counts": SQL_PIP_COUNTS,
     "grid_agg_mean_of_means": SQL_GRID_AGG,
     "knn_k5": SQL_KNN,
