@@ -54,23 +54,16 @@ TAG_MODEL_TIEPOINT = 33922
 TAG_GDAL_NODATA = 42113
 
 
-def _read_ifd(buf: bytes, bo: str):
-    """Classic (42) or BigTIFF (43) IFD -> {tag: [values]}. BigTIFF (the
-    public Adobe/AWare 2004 spec, what GDAL writes for >4 GB rasters —
-    `-co BIGTIFF=YES` or automatic): 8-byte offsets, 8-byte entry counts,
-    20-byte IFD entries, value inline when <= 8 bytes, extra value types
-    LONG8/SLONG8/IFD8."""
+def _read_ifd_at(buf: bytes, bo: str, off: int) -> tuple[dict, int]:
+    """One IFD at byte offset `off` -> ({tag: [values]}, next_ifd_offset).
+    Handles classic (42) and BigTIFF (43) entry layouts; next offset 0
+    means end of the IFD chain."""
     version = struct.unpack_from(bo + "H", buf, 2)[0]
     if version == 43:
-        osize, zero = struct.unpack_from(bo + "HH", buf, 4)
-        if osize != 8 or zero != 0:
-            raise ValueError("malformed BigTIFF header")
-        (off,) = struct.unpack_from(bo + "Q", buf, 8)
         (n,) = struct.unpack_from(bo + "Q", buf, off)
         ent0, ent_sz, inline = off + 8, 20, 8
         off_fmt = "Q"
     else:
-        (off,) = struct.unpack_from(bo + "I", buf, 4)
         (n,) = struct.unpack_from(bo + "H", buf, off)
         ent0, ent_sz, inline = off + 2, 12, 4
         off_fmt = "I"
@@ -94,7 +87,49 @@ def _read_ifd(buf: bytes, bo: str):
         else:
             vals = [buf[data_off : data_off + size]]
         tags[tag] = vals
+    (next_off,) = struct.unpack_from(bo + off_fmt, buf, ent0 + ent_sz * n)
+    return tags, int(next_off)
+
+
+def _first_ifd_offset(buf: bytes, bo: str) -> int:
+    version = struct.unpack_from(bo + "H", buf, 2)[0]
+    if version == 43:
+        osize, zero = struct.unpack_from(bo + "HH", buf, 4)
+        if osize != 8 or zero != 0:
+            raise ValueError("malformed BigTIFF header")
+        return struct.unpack_from(bo + "Q", buf, 8)[0]
+    return struct.unpack_from(bo + "I", buf, 4)[0]
+
+
+def _read_ifd(buf: bytes, bo: str, level: int = 0):
+    """IFD `level` of the chain -> {tag: [values]}. Level 0 is the full-
+    resolution image; levels 1+ are the reduced-resolution overviews a
+    Cloud-Optimized GeoTIFF chains after it (GDAL `-co COPY_SRC_OVERVIEWS`
+    / gdaladdo). BigTIFF (the public Adobe/AWare 2004 spec): 8-byte
+    offsets, 8-byte entry counts, 20-byte entries, LONG8/SLONG8/IFD8."""
+    off = _first_ifd_offset(buf, bo)
+    for _ in range(level):
+        _, off = _read_ifd_at(buf, bo, off)
+        if off == 0:
+            raise ValueError(f"TIFF has no IFD level {level}")
+    tags, _ = _read_ifd_at(buf, bo, off)
     return tags
+
+
+def tiff_levels(buf: bytes) -> list[tuple[int, int]]:
+    """[(width, height)] per IFD in the chain — level 0 = full resolution,
+    the rest are overviews (the COG pyramid). Header-only: no pixel data
+    is touched."""
+    buf = bytes(buf)
+    bo = "<" if buf[:2] == b"II" else ">" if buf[:2] == b"MM" else None
+    if bo is None:
+        raise ValueError("not a TIFF")
+    out = []
+    off = _first_ifd_offset(buf, bo)
+    while off:
+        t, off = _read_ifd_at(buf, bo, off)
+        out.append((int(t[TAG_WIDTH][0]), int(t[TAG_HEIGHT][0])))
+    return out
 
 
 # --------------------------------------------------------------- LZW (§13)
@@ -289,9 +324,11 @@ def _dtype_of(bits: int, fmt: int, bo: str) -> np.dtype:
     return dt.newbyteorder("<" if bo == "<" else ">")
 
 
-def tiff_decode(buf: bytes) -> tuple[np.ndarray, dict]:
+def tiff_decode(buf: bytes, level: int = 0) -> tuple[np.ndarray, dict]:
     """TIFF bytes -> ((h, w, bands) array in native byte order, meta dict
-    with pixel_scale / tiepoint / nodata when present)."""
+    with pixel_scale / tiepoint / nodata when present). `level` selects an
+    IFD from the chain: 0 = full resolution, 1+ = COG overview pyramids
+    (see tiff_levels)."""
     buf = bytes(buf)
     if buf[:2] == b"II":
         bo = "<"
@@ -301,7 +338,7 @@ def tiff_decode(buf: bytes) -> tuple[np.ndarray, dict]:
         raise ValueError("not a TIFF")
     if struct.unpack_from(bo + "H", buf, 2)[0] not in (42, 43):
         raise ValueError("not a TIFF (classic 42 / BigTIFF 43)")
-    t = _read_ifd(buf, bo)
+    t = _read_ifd(buf, bo, level)
     w = int(t[TAG_WIDTH][0])
     h = int(t[TAG_HEIGHT][0])
     spp = int(t.get(TAG_SAMPLES_PER_PIXEL, [1])[0])
@@ -393,6 +430,7 @@ def tiff_decode_window(
     y0: int,
     win_w: int,
     win_h: int,
+    level: int = 0,
     _stats: dict | None = None,
 ) -> tuple[np.ndarray, dict]:
     """COG-style WINDOWED decode: return only pixels [y0:y0+win_h,
@@ -411,7 +449,7 @@ def tiff_decode_window(
     bo = "<" if buf[:2] == b"II" else ">" if buf[:2] == b"MM" else None
     if bo is None:
         raise ValueError("not a TIFF")
-    t = _read_ifd(buf, bo)
+    t = _read_ifd(buf, bo, level)
     w = int(t[TAG_WIDTH][0])
     h = int(t[TAG_HEIGHT][0])
     spp = int(t.get(TAG_SAMPLES_PER_PIXEL, [1])[0])

@@ -432,3 +432,60 @@ def test_pip_join_auto_falls_back_to_shuffle(spark):
     c = pairs(broadcast_cover=False)  # explicit shuffle
     assert a == b == c
     assert len(a) > 0
+
+
+# ------------------------------------------------- COG overview levels
+def _build_two_level_tiff(full, ovr):
+    """Independent minimal builder of a TWO-IFD TIFF (the COG pyramid
+    shape: full-res IFD chained to an overview IFD), single uncompressed
+    strip per level, uint8, 1 band — shares no code with tiff_encode."""
+    import struct
+
+    def entries_for(img, data_off):
+        h, w = img.shape
+        return [
+            (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+            (262, 3, 1, 1), (273, 4, 1, data_off), (277, 3, 1, 1),
+            (278, 4, 1, h), (279, 4, 1, h * w), (339, 3, 1, 1),
+        ]
+
+    ifd_size = 2 + 12 * 10 + 4
+    ifd0, ifd1 = 8, 8 + ifd_size
+    data0 = ifd1 + ifd_size
+    data1 = data0 + full.size
+
+    def ifd_bytes(img, data_off, next_off):
+        out = struct.pack("<H", 10)
+        for tag, typ, cnt, val in entries_for(img, data_off):
+            fmtc = {3: "H", 4: "I"}[typ]
+            four = struct.pack("<" + fmtc, val).ljust(4, b"\0")
+            out += struct.pack("<HHI", tag, typ, cnt) + four
+        return out + struct.pack("<I", next_off)
+
+    return (
+        b"II" + struct.pack("<HI", 42, ifd0)
+        + ifd_bytes(full, data0, ifd1)
+        + ifd_bytes(ovr, data1, 0)
+        + full.tobytes() + ovr.tobytes()
+    )
+
+
+def test_cog_overview_levels():
+    """Multi-IFD chain (COG pyramid): tiff_levels enumerates, decode/
+    decode_window select a level; level 0 stays the default."""
+    rng = np.random.default_rng(53)
+    full = rng.integers(0, 255, (64, 48)).astype(np.uint8)
+    ovr = full.reshape(32, 2, 24, 2).mean(axis=(1, 3)).astype(np.uint8)
+    buf = _build_two_level_tiff(full, ovr)
+    assert geotiff.tiff_levels(buf) == [(48, 64), (24, 32)]
+    out0, _ = geotiff.tiff_decode(buf)  # default = full res
+    assert (out0[:, :, 0] == full).all()
+    out1, _ = geotiff.tiff_decode(buf, level=1)
+    assert (out1[:, :, 0] == ovr).all()
+    win, _ = geotiff.tiff_decode_window(buf, 4, 6, 10, 12, level=1)
+    assert (win[:, :, 0] == ovr[6:18, 4:14]).all()
+    with pytest.raises(ValueError, match="no IFD level"):
+        geotiff.tiff_decode(buf, level=2)
+    # single-IFD files report one level and still decode
+    single = geotiff.tiff_encode(full, compress="lzw")
+    assert len(geotiff.tiff_levels(single)) == 1
