@@ -66,6 +66,28 @@ BENCH_QUERIES = [
 
 RUNS_PER_QUERY = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+# r4 verdict directive #1: the official per-round record was captured at
+# loadavg 9.9 and showed 2-3x phantom regressions on unchanged code. Before
+# the timed suite, wait (bounded) for the 1-min loadavg to settle under a
+# threshold, and stamp the record with whether the gate was satisfied so a
+# noisy record is self-identifying.
+LOAD_GATE_THRESHOLD = float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "2.0"))
+LOAD_GATE_MAX_WAIT = float(os.environ.get("SPARK_GRAFT_LOAD_GATE_WAIT", "120"))
+
+
+def wait_for_load_floor() -> tuple[bool, float]:
+    """Block (<= LOAD_GATE_MAX_WAIT s) until 1-min loadavg < threshold.
+
+    Returns (gated_ok, seconds_waited). gated_ok=False means the host never
+    settled — the record is still produced but flagged load_gated=false.
+    """
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < LOAD_GATE_MAX_WAIT:
+        if os.getloadavg()[0] < LOAD_GATE_THRESHOLD:
+            return True, round(time.monotonic() - t0, 1)
+        time.sleep(5.0)
+    return os.getloadavg()[0] < LOAD_GATE_THRESHOLD, round(time.monotonic() - t0, 1)
+
 
 def flagship_pipeline(spark, sf_dir):
     """tile assignment + PIP join in one plan (the north-rule workload)."""
@@ -85,6 +107,8 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cores = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    # settle the host BEFORE spinning up the JVM (the JVM itself adds load)
+    load_gated, gate_wait = wait_for_load_floor()
     spark = get_spark("bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -105,6 +129,9 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         spreads[name] = round(max(runs) / max(min(runs), 1e-9), 2)
         return min(runs)
+
+    # fixture setup OUTSIDE any timed path (r4 verdict #5)
+    Q.ensure_geoparquet_fixture(spark, sf_dir)
 
     # flagship: spatial-join + tile-assignment throughput
     n_points = Q._pq(spark, sf_dir, "customer").count()
@@ -131,6 +158,9 @@ def main() -> None:
         "runs_per_query": RUNS_PER_QUERY,
         "spread": spreads,
         "loadavg": [round(load_t0, 2), round(os.getloadavg()[0], 2)],
+        "load_gated": load_gated,
+        "load_gate_wait_sec": gate_wait,
+        "load_gate_threshold": LOAD_GATE_THRESHOLD,
     }
     print(json.dumps(out))
 

@@ -14,7 +14,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
 
 def _dot(a, b):
@@ -163,6 +163,63 @@ def lsh_signature_udf(dim: int, n_planes: int = 16, seed: int = 7):
     return sig
 
 
+def lsh_multi_signature_udf(dim: int, n_planes: int, n_tables: int, seed: int = 101):
+    """All `n_tables` hyperplane signatures in ONE Arrow pass: returns
+    array<long> of length n_tables (one packed bucket key per table), so
+    the source is scanned once instead of once per table."""
+    # per-table seeds identical to lsh_signature_udf(seed=seed+t) so the
+    # buckets (hence results) match the per-table formulation exactly
+    planes = np.hstack(
+        [np.random.default_rng(seed + t).standard_normal((dim, n_planes)) for t in range(n_tables)]
+    )
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sigs(vec: pd.Series) -> pd.Series:
+        m = np.stack(vec.to_numpy()).astype(np.float64)  # (batch, dim)
+        bits = (m @ planes) >= 0.0  # (batch, n_tables*n_planes)
+        keys = bits.reshape(len(m), n_tables, n_planes) @ weights  # (batch, n_tables)
+        return pd.Series(list(keys))
+
+    return sigs
+
+
+def lsh_candidates(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 12,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Candidate-pair generation for `lsh_topk` — IDS ONLY end to end
+    (r4 verdict directive #2, mirroring the minhash band-join shape,
+    dedup.py minhash_lsh_pairs_sql):
+
+    - one scan computes all n_tables bucket keys per row (single Arrow
+      UDF returning array<long>), then posexplode to (_pid, _table,
+      _bucket) — the embedding array is dropped BEFORE any Exchange;
+    - same-bucket self-join on (_bucket, _table) ships 3 small columns;
+    - report-once across tables via groupBy(_qid,_pid).agg(min(_table))
+      — map-side-combinable HashAggregate, no window sort.
+
+    Returns (_qid, _pid) distinct candidate pairs (both directions kept:
+    top-k is per-query, so (a,b) and (b,a) are both needed).
+    """
+    sigs = lsh_multi_signature_udf(dim, n_planes, n_tables)
+    keyed = (
+        df.select(F.col(id_col).alias("_pid"), sigs(F.col(vec)).alias("_sigs"))
+        .select("_pid", F.posexplode("_sigs").alias("_table", "_bucket"))
+    )
+    left = keyed.select(F.col("_pid").alias("_qid"), "_table", "_bucket")
+    cand = left.join(keyed, ["_bucket", "_table"]).filter(F.col("_qid") != F.col("_pid"))
+    return (
+        cand.groupBy("_qid", "_pid")
+        .agg(F.min("_table").alias("_t"))
+        .drop("_t")
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     k: int = 3,
@@ -173,28 +230,26 @@ def lsh_topk(
     n_tables: int = 4,
 ) -> DataFrame:
     """Approximate cosine top-k: `n_tables` independent hyperplane LSH
-    buckets, candidates = same-bucket pairs in any table (deduped via
-    min-table report-once), exact re-rank. Recall grows with n_tables."""
+    buckets, candidates = same-bucket pairs in any table, exact re-rank.
+    Recall grows with n_tables.
+
+    Scale shape (r4 verdict #2): the candidate stage is ids-only
+    (`lsh_candidates` — embeddings never enter an Exchange there; plan
+    gate in tests/test_plans.py); vectors are re-joined ONCE onto the
+    deduped pair list for the exact cosine re-rank, so the embedding
+    payload crosses the wire exactly twice (once per pair side), not
+    n_tables+1 times."""
     base = with_norm(df.select(F.col(id_col).alias("_pid"), F.col(vec).alias("_pv")), "_pv", "_pn")
-    bucketed = None
-    for t in range(n_tables):
-        sig = lsh_signature_udf(dim, n_planes, seed=101 + t)
-        b = base.withColumn("_bucket", sig(F.col("_pv"))).withColumn("_table", F.lit(t))
-        bucketed = b if bucketed is None else bucketed.unionByName(b)
+    cand = lsh_candidates(df, id_col, vec, dim, n_planes, n_tables)
 
-    left = bucketed.select(
-        F.col("_pid").alias("_qid"), F.col("_pv").alias("_qv"), F.col("_pn").alias("_qn"),
-        "_bucket", "_table",
+    qside = base.select(
+        F.col("_pid").alias("_qid"), F.col("_pv").alias("_qv"), F.col("_pn").alias("_qn")
     )
-    cand = left.join(bucketed, ["_bucket", "_table"]).filter(F.col("_qid") != F.col("_pid"))
-    # report-once across tables: keep the pair only in its smallest table id
-    w_first = Window.partitionBy("_qid", "_pid").orderBy("_table")
-    cand = cand.withColumn("_rn", F.row_number().over(w_first)).filter(F.col("_rn") == 1)
-
+    pairs = cand.join(qside, "_qid").join(base, "_pid")
     qv = F.transform(F.col("_qv"), lambda x: x.cast("double"))
     pv = F.transform(F.col("_pv"), lambda x: x.cast("double"))
     sim = (_dot(qv, pv) / (F.col("_qn") * F.col("_pn"))).alias("_sim")
-    pairs = cand.select("_qid", "_pid", sim)
+    pairs = pairs.select("_qid", "_pid", sim)
     w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.asc("_pid"))
     return (
         pairs.withColumn("rank", F.row_number().over(w))

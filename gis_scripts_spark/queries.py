@@ -209,26 +209,49 @@ FROM pts JOIN rects
 """
 
 
-def q_geoparquet_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PIP join whose polygon layer comes from a GEOPARQUET file (round-4
-    source, `sources/geoparquet.py` — the cloud-native vector format):
-    the AOI rect polygons are published once as spec-compliant GeoParquet
-    (WKB geometry + `geo` footer JSON; deterministic /tmp fixture keyed
-    by sf_dir), read back through the distributed parquet scan + footer
-    metadata parse, and PIP-joined against supplier-derived points.
-    FULL oracle: DuckDB recomputes the identical rects from `nation` —
-    the format roundtrip is exactly what the hash compare certifies."""
+def ensure_geoparquet_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build the GeoParquet AOI fixture as a SETUP step (r4 verdict #5 +
+    advice): write into a unique staging dir, and only after
+    write_geoparquet fully completes (parquet write AND the `geo` footer
+    rewrite) atomically rename into the final path. The final dir either
+    doesn't exist or is complete — no _SUCCESS-before-footer poison window,
+    and concurrent bench processes race safely (loser's staging dir is
+    discarded)."""
     import hashlib as _hashlib
     import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
 
     from gis_scripts_spark.sources import geoparquet as gpq
 
     path = f"/tmp/gpq_aoi_{_hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        gpq.write_geoparquet(
-            _aoi_polys_df(spark, sf_dir), path, geometry_col="wkb",
-            crs={"id": {"authority": "OGC", "code": "CRS84"}},
-        )
+    if _os.path.isdir(path):
+        return path
+    stage = f"{path}.stage.{_uuid.uuid4().hex}"
+    gpq.write_geoparquet(
+        _aoi_polys_df(spark, sf_dir), stage, geometry_col="wkb",
+        crs={"id": {"authority": "OGC", "code": "CRS84"}},
+    )
+    try:
+        _os.rename(stage, path)  # atomic publish; fails if a racer won
+    except OSError:
+        _shutil.rmtree(stage, ignore_errors=True)
+    return path
+
+
+def q_geoparquet_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join whose polygon layer comes from a GEOPARQUET file (round-4
+    source, `sources/geoparquet.py` — the cloud-native vector format):
+    the AOI rect polygons are published once as spec-compliant GeoParquet
+    (WKB geometry + `geo` footer JSON; atomic /tmp fixture keyed by
+    sf_dir, built by ensure_geoparquet_fixture — a setup step, outside
+    any timed path), read back through the distributed parquet scan +
+    footer metadata parse, and PIP-joined against supplier-derived points.
+    FULL oracle: DuckDB recomputes the identical rects from `nation` —
+    the format roundtrip is exactly what the hash compare certifies."""
+    from gis_scripts_spark.sources import geoparquet as gpq
+
+    path = ensure_geoparquet_fixture(spark, sf_dir)
     polys, meta = gpq.read_geoparquet(spark, path)
     assert meta.primary_column == "wkb"
     sup = derived_lonlat(_pq(spark, sf_dir, "supplier"), "s_suppkey")

