@@ -4,11 +4,14 @@
   writes filter-0 scanlines; decoder handles all five standard filters).
   This is the lossless path of the input_hint invariant ("decoded pixels
   identical").
-- QNT: deterministic lossy codec (6-bit quantization + zlib), standing in
-  for JPEG since no JPEG library exists in the sandbox. Max per-pixel error
-  is 2 → PSNR ≈ 46 dB, exercising the "PSNR >= 40 dB for lossy formats"
-  invariant path. Real JPEG decode is stubbed (`NotImplementedError`) —
-  the Spark-side plumbing (schema, batching, UDF signatures) is identical.
+- QNT: deterministic lossy codec (6-bit quantization + zlib) — max
+  per-pixel error 2 → PSNR ≈ 46 dB; kept as the cheap deterministic lossy
+  path.
+- JPEG: real from-scratch ITU-T T.81 baseline sequential codec (see
+  raster/jpeg.py) — Huffman + DCT encode/decode, 4:4:4 / 4:2:0, restart
+  markers, abbreviated streams for JPEG-in-TIFF. The `fmt='jpeg'` column
+  of the input_hint schema decodes for real (PSNR >= 40 dB invariant
+  verified in tests/test_jpeg.py).
 - phash: classic 64-bit perceptual hash (area-downsample to 32×32, DCT-II,
   top-left 8×8 sans DC, median threshold).
 
@@ -191,7 +194,9 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
 
         return geotiff.tiff_encode(img)
     if fmt == "jpeg":
-        raise NotImplementedError("no JPEG codec in sandbox — use fmt='qnt' for the lossy path")
+        from gis_scripts_spark.raster import jpeg
+
+        return jpeg.jpeg_encode(img, quality=92, subsampling="4:4:4")
     raise ValueError(f"unknown fmt {fmt}")
 
 
@@ -209,8 +214,10 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
         from gis_scripts_spark.raster import geotiff
 
         return geotiff.tiff_decode(bytes(buf))[0]
-    if fmt == "jpeg":
-        raise NotImplementedError("no JPEG codec in sandbox")
+    if fmt == "jpeg" or head[:2] == b"\xff\xd8":
+        from gis_scripts_spark.raster import jpeg
+
+        return jpeg.jpeg_decode(bytes(buf))
     raise ValueError("unknown image format")
 
 
@@ -228,6 +235,12 @@ def decode_window(
         from gis_scripts_spark.raster import geotiff
 
         return geotiff.tiff_decode_window(bytes(buf), x0, y0, w, h)[0]
+    # same out-of-bounds contract as the TIFF path (r4 advice): validate
+    # against the header shape before slicing instead of silently
+    # returning a truncated/empty array
+    ih, iw, _b = probe_shape(buf, fmt)
+    if not (0 <= x0 and 0 <= y0 and x0 + w <= iw and y0 + h <= ih):
+        raise ValueError(f"window [{x0}:{x0+w}) x [{y0}:{y0+h}) outside {iw}x{ih}")
     return decode(buf, fmt)[y0 : y0 + h, x0 : x0 + w]
 
 
@@ -291,6 +304,8 @@ def probe_dtype(buf: bytes, fmt: str | None = None) -> np.dtype:
         return np.dtype(np.uint8)
     if fmt == "qnt" or head.startswith(_QNT_MAGIC):
         return np.dtype(np.uint8)
+    if fmt == "jpeg" or head[:2] == b"\xff\xd8":
+        return np.dtype(np.uint8)
     if fmt == "raw" or head.startswith(_RAW_MAGIC):
         return _RAW_DTYPES[head[4]]
     if fmt in ("tif", "tiff", "gtiff") or head[:2] in (b"II", b"MM"):
@@ -323,6 +338,10 @@ def probe_shape(buf: bytes, fmt: str | None = None) -> tuple[int, int, int]:
     if fmt == "raw" or head.startswith(_RAW_MAGIC):
         _code, w, h, bands = struct.unpack_from("<BIIB", head, 4)
         return int(h), int(w), int(bands)
+    if fmt == "jpeg" or head[:2] == b"\xff\xd8":
+        from gis_scripts_spark.raster import jpeg
+
+        return jpeg.probe_jpeg_shape(bytes(buf))
     if fmt in ("tif", "tiff", "gtiff") or head[:2] in (b"II", b"MM"):
         from gis_scripts_spark.raster import geotiff
 

@@ -45,6 +45,7 @@ TAG_STRIP_COUNTS = 279
 TAG_PLANAR = 284
 TAG_PREDICTOR = 317
 TAG_SAMPLE_FORMAT = 339
+TAG_JPEG_TABLES = 347
 TAG_TILE_WIDTH = 322
 TAG_TILE_LENGTH = 323
 TAG_TILE_OFFSETS = 324
@@ -324,6 +325,126 @@ def _dtype_of(bits: int, fmt: int, bo: str) -> np.dtype:
     return dt.newbyteorder("<" if bo == "<" else ">")
 
 
+def _tiff_unpack(raw: bytes, comp: int) -> bytes:
+    if comp in (8, 32946):
+        return zlib.decompress(raw)
+    if comp == 5:
+        return lzw_decode(raw)
+    if comp == 32773:
+        return packbits_decode(raw)
+    if comp == 1:
+        return raw
+    raise NotImplementedError(f"TIFF compression {comp} not supported")
+
+
+def _jpeg_tiff_tables(t: dict):
+    """Parsed JPEGTables state (tag 347) or None."""
+    from gis_scripts_spark.raster import jpeg as jpeg_mod
+
+    if TAG_JPEG_TABLES not in t:
+        return None
+    blob = t[TAG_JPEG_TABLES][0]
+    if not isinstance(blob, (bytes, bytearray)):
+        raise ValueError("malformed JPEGTables tag")
+    return jpeg_mod.parse_tables(bytes(blob))
+
+
+def _tiff_decode_jpeg(buf: bytes, t: dict) -> np.ndarray:
+    """Compression-7 image assembly: every strip/tile is an independent
+    baseline JPEG stream (decoded by the from-scratch raster/jpeg.py codec);
+    3-component streams are YCbCr -> RGB per the TIFF photometric-YCbCr
+    convention, 1-component streams are grayscale."""
+    from gis_scripts_spark.raster import jpeg as jpeg_mod
+
+    w = int(t[TAG_WIDTH][0])
+    h = int(t[TAG_HEIGHT][0])
+    spp = int(t.get(TAG_SAMPLES_PER_PIXEL, [1])[0])
+    tables = _jpeg_tiff_tables(t)
+    out = np.zeros((h, w, spp), np.uint8)
+    if TAG_TILE_OFFSETS in t:
+        tw = int(t[TAG_TILE_WIDTH][0])
+        th = int(t[TAG_TILE_LENGTH][0])
+        tiles_x = (w + tw - 1) // tw
+        for idx, (o, c) in enumerate(zip(t[TAG_TILE_OFFSETS], t[TAG_TILE_COUNTS])):
+            arr = jpeg_mod.jpeg_decode(buf[int(o) : int(o) + int(c)], tables=tables)
+            ty, tx = divmod(idx, tiles_x)
+            y0, x0 = ty * th, tx * tw
+            hh, ww = min(th, h - y0), min(tw, w - x0)
+            out[y0 : y0 + hh, x0 : x0 + ww] = arr[:hh, :ww, :spp]
+        return out
+    rps = int(t.get(TAG_ROWS_PER_STRIP, [h])[0])
+    for s, (o, c) in enumerate(zip(t[TAG_STRIP_OFFSETS], t[TAG_STRIP_COUNTS])):
+        arr = jpeg_mod.jpeg_decode(buf[int(o) : int(o) + int(c)], tables=tables)
+        y0 = s * rps
+        hh = min(rps, h - y0)
+        out[y0 : y0 + hh] = arr[:hh, :w, :spp]
+    return out
+
+
+def _tiff_decode_planar2(
+    buf: bytes, t: dict, bo: str, dt: np.dtype, predictor: int, comp: int
+) -> np.ndarray:
+    """PlanarConfiguration=2 (band-separate) assembly: the strip/tile
+    sequence holds all blocks of band 0, then band 1, ... (TIFF 6.0 §
+    PlanarConfiguration). Each block carries ONE sample per pixel, so the
+    predictor stride is 1. This is GDAL's INTERLEAVE=BAND layout."""
+    w = int(t[TAG_WIDTH][0])
+    h = int(t[TAG_HEIGHT][0])
+    spp = int(t.get(TAG_SAMPLES_PER_PIXEL, [1])[0])
+    ndt = dt.newbyteorder("=")
+    out = np.zeros((h, w, spp), ndt)
+
+    def undo(arr: np.ndarray) -> np.ndarray:
+        # (n_rows, row_vals) single-sample rows; predictor stride 1
+        if predictor == 2:
+            return np.cumsum(arr.astype(np.int64), axis=1).astype(arr.dtype)
+        return arr
+
+    def rows_of(data: bytes, n_rows: int, row_vals: int) -> np.ndarray:
+        if predictor == 3:
+            bps = dt.itemsize
+            raw = np.frombuffer(data, np.uint8, count=n_rows * row_vals * bps)
+            be = _fp3_decode_rows(raw.reshape(n_rows, row_vals * bps), bps, 1)
+            return np.frombuffer(be.tobytes(), np.dtype(f">f{bps}")).reshape(
+                n_rows, row_vals
+            ).astype(ndt)
+        arr = np.frombuffer(data, dt, count=n_rows * row_vals).reshape(n_rows, row_vals)
+        return undo(arr.astype(ndt))
+
+    if TAG_TILE_OFFSETS in t:
+        tw = int(t[TAG_TILE_WIDTH][0])
+        th = int(t[TAG_TILE_LENGTH][0])
+        tiles_x = (w + tw - 1) // tw
+        tiles_y = (h + th - 1) // th
+        tpb = tiles_x * tiles_y
+        offs, cnts = t[TAG_TILE_OFFSETS], t[TAG_TILE_COUNTS]
+        if len(offs) != tpb * spp:
+            raise ValueError("planar-2 tile count mismatch")
+        for band in range(spp):
+            for ti in range(tpb):
+                idx = band * tpb + ti
+                data = _tiff_unpack(buf[int(offs[idx]) : int(offs[idx]) + int(cnts[idx])], comp)
+                arr = rows_of(data, th, tw)
+                ty, tx = divmod(ti, tiles_x)
+                y0, x0 = ty * th, tx * tw
+                hh, ww = min(th, h - y0), min(tw, w - x0)
+                out[y0 : y0 + hh, x0 : x0 + ww, band] = arr[:hh, :ww]
+        return out
+    rps = int(t.get(TAG_ROWS_PER_STRIP, [h])[0])
+    spb = (h + rps - 1) // rps
+    offs, cnts = t[TAG_STRIP_OFFSETS], t[TAG_STRIP_COUNTS]
+    if len(offs) != spb * spp:
+        raise ValueError("planar-2 strip count mismatch")
+    for band in range(spp):
+        for s in range(spb):
+            idx = band * spb + s
+            data = _tiff_unpack(buf[int(offs[idx]) : int(offs[idx]) + int(cnts[idx])], comp)
+            y0 = s * rps
+            hh = min(rps, h - y0)
+            out[y0 : y0 + hh, :, band] = rows_of(data, hh, w)
+    return out
+
+
 def tiff_decode(buf: bytes, level: int = 0) -> tuple[np.ndarray, dict]:
     """TIFF bytes -> ((h, w, bands) array in native byte order, meta dict
     with pixel_scale / tiepoint / nodata when present). `level` selects an
@@ -346,18 +467,27 @@ def tiff_decode(buf: bytes, level: int = 0) -> tuple[np.ndarray, dict]:
     comp = int(t.get(TAG_COMPRESSION, [1])[0])
     fmt = int(t.get(TAG_SAMPLE_FORMAT, [1])[0])
     planar = int(t.get(TAG_PLANAR, [1])[0])
-    if planar != 1:
-        raise ValueError("only chunky planar config supported")
+    if comp == 7:
+        # new-style JPEG-in-TIFF (TIFF Technical Note 2): each strip/tile
+        # is a complete (possibly abbreviated) baseline JPEG stream; shared
+        # tables live in the JPEGTables tag (347)
+        if planar != 1:
+            raise NotImplementedError("JPEG-in-TIFF with planar config 2 not supported")
+        return _tiff_decode_jpeg(buf, t), _geo_meta(t)
     if comp not in (1, 5, 8, 32773, 32946):
         raise NotImplementedError(
-            f"TIFF compression {comp} not supported (none/lzw/deflate/packbits)"
+            f"TIFF compression {comp} not supported (none/lzw/deflate/packbits/jpeg)"
         )
+    if planar not in (1, 2):
+        raise ValueError(f"bad planar configuration {planar}")
     predictor = int(t.get(TAG_PREDICTOR, [1])[0])
     if predictor not in (1, 2, 3):
         raise NotImplementedError(f"TIFF predictor {predictor} not supported")
     dt = _dtype_of(bits, fmt, bo)
     if predictor == 3 and dt.kind != "f":
         raise ValueError("TIFF predictor 3 applies to floating-point samples only")
+    if planar == 2:
+        return _tiff_decode_planar2(buf, t, bo, dt, predictor, comp), _geo_meta(t)
 
     def undo_predictor(arr: np.ndarray) -> np.ndarray:
         """Undo horizontal differencing (predictor 2, TIFF 6.0 §14): each
@@ -424,6 +554,136 @@ def tiff_decode(buf: bytes, level: int = 0) -> tuple[np.ndarray, dict]:
     return undo_predictor(img), _geo_meta(t)
 
 
+def _tiff_window_jpeg(
+    buf: bytes, t: dict, x0: int, y0: int, win_w: int, win_h: int,
+    _stats: dict | None,
+) -> np.ndarray:
+    """Windowed compression-7 decode: only the JPEG strips/tiles that
+    intersect the window are entropy-decoded (a strip/tile is the access
+    unit — JPEG streams have no row-level random access)."""
+    from gis_scripts_spark.raster import jpeg as jpeg_mod
+
+    w = int(t[TAG_WIDTH][0])
+    h = int(t[TAG_HEIGHT][0])
+    spp = int(t.get(TAG_SAMPLES_PER_PIXEL, [1])[0])
+    tables = _jpeg_tiff_tables(t)
+    out = np.zeros((win_h, win_w, spp), np.uint8)
+    decoded = 0
+    if TAG_TILE_OFFSETS in t:
+        tw = int(t[TAG_TILE_WIDTH][0])
+        th = int(t[TAG_TILE_LENGTH][0])
+        tiles_x = (w + tw - 1) // tw
+        offs, cnts = t[TAG_TILE_OFFSETS], t[TAG_TILE_COUNTS]
+        for ty in range(y0 // th, (y0 + win_h - 1) // th + 1):
+            for tx in range(x0 // tw, (x0 + win_w - 1) // tw + 1):
+                idx = ty * tiles_x + tx
+                arr = jpeg_mod.jpeg_decode(
+                    buf[int(offs[idx]) : int(offs[idx]) + int(cnts[idx])], tables=tables
+                )
+                decoded += 1
+                gy0, gx0 = ty * th, tx * tw
+                sy0, sy1 = max(y0, gy0) - gy0, min(y0 + win_h, gy0 + th) - gy0
+                sx0, sx1 = max(x0, gx0) - gx0, min(x0 + win_w, gx0 + tw) - gx0
+                out[
+                    gy0 + sy0 - y0 : gy0 + sy1 - y0, gx0 + sx0 - x0 : gx0 + sx1 - x0
+                ] = arr[sy0:sy1, sx0:sx1, :spp]
+        total = len(offs)
+    else:
+        rps = int(t.get(TAG_ROWS_PER_STRIP, [h])[0])
+        offs, cnts = t[TAG_STRIP_OFFSETS], t[TAG_STRIP_COUNTS]
+        for s in range(y0 // rps, (y0 + win_h - 1) // rps + 1):
+            arr = jpeg_mod.jpeg_decode(
+                buf[int(offs[s]) : int(offs[s]) + int(cnts[s])], tables=tables
+            )
+            decoded += 1
+            gy0 = s * rps
+            n_rows = min(rps, h - gy0)
+            sy0, sy1 = max(y0, gy0) - gy0, min(y0 + win_h, gy0 + n_rows) - gy0
+            out[gy0 + sy0 - y0 : gy0 + sy1 - y0, :] = arr[sy0:sy1, x0 : x0 + win_w, :spp]
+        total = len(offs)
+    if _stats is not None:
+        _stats["blocks_decoded"] = decoded
+        _stats["blocks_total"] = int(total)
+    return out
+
+
+def _tiff_window_planar2(
+    buf: bytes, t: dict, bo: str, dt: np.dtype, predictor: int, comp: int,
+    x0: int, y0: int, win_w: int, win_h: int, _stats: dict | None,
+) -> np.ndarray:
+    """Windowed planar-2 decode: per band, only the intersecting blocks
+    (at offset band*blocks_per_band) are decompressed."""
+    w = int(t[TAG_WIDTH][0])
+    h = int(t[TAG_HEIGHT][0])
+    spp = int(t.get(TAG_SAMPLES_PER_PIXEL, [1])[0])
+    ndt = dt.newbyteorder("=")
+    out = np.zeros((win_h, win_w, spp), ndt)
+    decoded = 0
+
+    def rows_of(data: bytes, n_rows: int, row_vals: int) -> np.ndarray:
+        if predictor == 3:
+            bps = dt.itemsize
+            raw = np.frombuffer(data, np.uint8, count=n_rows * row_vals * bps)
+            be = _fp3_decode_rows(raw.reshape(n_rows, row_vals * bps), bps, 1)
+            return np.frombuffer(be.tobytes(), np.dtype(f">f{bps}")).reshape(
+                n_rows, row_vals
+            ).astype(ndt)
+        arr = np.frombuffer(data, dt, count=n_rows * row_vals).reshape(n_rows, row_vals)
+        arr = arr.astype(ndt)
+        if predictor == 2:
+            arr = np.cumsum(arr.astype(np.int64), axis=1).astype(arr.dtype)
+        return arr
+
+    if TAG_TILE_OFFSETS in t:
+        tw = int(t[TAG_TILE_WIDTH][0])
+        th = int(t[TAG_TILE_LENGTH][0])
+        tiles_x = (w + tw - 1) // tw
+        tiles_y = (h + th - 1) // th
+        tpb = tiles_x * tiles_y
+        offs, cnts = t[TAG_TILE_OFFSETS], t[TAG_TILE_COUNTS]
+        for band in range(spp):
+            for ty in range(y0 // th, (y0 + win_h - 1) // th + 1):
+                for tx in range(x0 // tw, (x0 + win_w - 1) // tw + 1):
+                    idx = band * tpb + ty * tiles_x + tx
+                    data = _tiff_unpack(
+                        buf[int(offs[idx]) : int(offs[idx]) + int(cnts[idx])], comp
+                    )
+                    decoded += 1
+                    arr = rows_of(data, th, tw)
+                    gy0, gx0 = ty * th, tx * tw
+                    sy0, sy1 = max(y0, gy0) - gy0, min(y0 + win_h, gy0 + th) - gy0
+                    sx0, sx1 = max(x0, gx0) - gx0, min(x0 + win_w, gx0 + tw) - gx0
+                    out[
+                        gy0 + sy0 - y0 : gy0 + sy1 - y0,
+                        gx0 + sx0 - x0 : gx0 + sx1 - x0,
+                        band,
+                    ] = arr[sy0:sy1, sx0:sx1]
+        total = len(offs)
+    else:
+        rps = int(t.get(TAG_ROWS_PER_STRIP, [h])[0])
+        spb = (h + rps - 1) // rps
+        offs, cnts = t[TAG_STRIP_OFFSETS], t[TAG_STRIP_COUNTS]
+        for band in range(spp):
+            for s in range(y0 // rps, (y0 + win_h - 1) // rps + 1):
+                idx = band * spb + s
+                data = _tiff_unpack(
+                    buf[int(offs[idx]) : int(offs[idx]) + int(cnts[idx])], comp
+                )
+                decoded += 1
+                gy0 = s * rps
+                n_rows = min(rps, h - gy0)
+                arr = rows_of(data, n_rows, w)
+                sy0, sy1 = max(y0, gy0) - gy0, min(y0 + win_h, gy0 + n_rows) - gy0
+                out[gy0 + sy0 - y0 : gy0 + sy1 - y0, :, band] = arr[
+                    sy0:sy1, x0 : x0 + win_w
+                ]
+        total = len(offs)
+    if _stats is not None:
+        _stats["blocks_decoded"] = decoded
+        _stats["blocks_total"] = int(total)
+    return out
+
+
 def tiff_decode_window(
     buf: bytes,
     x0: int,
@@ -456,12 +716,22 @@ def tiff_decode_window(
     bits = int(t.get(TAG_BITS, [8])[0])
     comp = int(t.get(TAG_COMPRESSION, [1])[0])
     fmt = int(t.get(TAG_SAMPLE_FORMAT, [1])[0])
-    if int(t.get(TAG_PLANAR, [1])[0]) != 1:
-        raise ValueError("only chunky planar config supported")
+    planar = int(t.get(TAG_PLANAR, [1])[0])
     predictor = int(t.get(TAG_PREDICTOR, [1])[0])
     dt = _dtype_of(bits, fmt, bo)
     if not (0 <= x0 and 0 <= y0 and x0 + win_w <= w and y0 + win_h <= h):
         raise ValueError(f"window [{x0}:{x0+win_w}) x [{y0}:{y0+win_h}) outside {w}x{h}")
+    if comp == 7:
+        if planar != 1:
+            raise NotImplementedError("JPEG-in-TIFF with planar config 2 not supported")
+        return _tiff_window_jpeg(buf, t, x0, y0, win_w, win_h, _stats), _geo_meta(t)
+    if planar == 2:
+        return (
+            _tiff_window_planar2(buf, t, bo, dt, predictor, comp, x0, y0, win_w, win_h, _stats),
+            _geo_meta(t),
+        )
+    if planar != 1:
+        raise ValueError(f"bad planar configuration {planar}")
 
     def unpack(raw: bytes) -> bytes:
         if comp in (8, 32946):
@@ -550,7 +820,8 @@ def _geo_meta(t: dict) -> dict:
     return meta
 
 
-_COMP_CODES = {True: 8, "deflate": 8, "lzw": 5, "packbits": 32773, False: 1, "none": 1}
+_COMP_CODES = {True: 8, "deflate": 8, "lzw": 5, "packbits": 32773, False: 1, "none": 1,
+               "jpeg": 7}
 
 
 def tiff_encode(
@@ -561,6 +832,8 @@ def tiff_encode(
     nodata: float | None = None,
     predictor: int = 1,
     bigtiff: bool = False,
+    planar: int = 1,
+    jpeg_quality: int = 92,
 ) -> bytes:
     """(h, w[, bands]) uint8/16/32, int8/16/32, float32/64 -> little-endian
     classic TIFF (chunky, one strip per 64 rows). `compress`: True/'deflate',
@@ -569,7 +842,12 @@ def tiff_encode(
     byte-shuffle differencing (float dtypes only) — the layouts GDAL
     commonly emits with DEFLATE/LZW. `bigtiff=True` writes the BigTIFF
     (version 43) layout — 8-byte offsets/counts, 20-byte IFD entries,
-    LONG8 strip offsets — what GDAL produces for >4 GB rasters."""
+    LONG8 strip offsets — what GDAL produces for >4 GB rasters.
+    `planar=2` writes band-separate strips (GDAL INTERLEAVE=BAND): all
+    strips of band 0, then band 1, ... `compress='jpeg'` writes new-style
+    JPEG-in-TIFF (compression 7): each strip an abbreviated baseline JPEG
+    stream with shared tables in the JPEGTables tag (uint8, 1/3 bands,
+    chunky, no predictor)."""
     img = np.asarray(img)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -586,6 +864,15 @@ def tiff_encode(
         raise ValueError("predictor 2 applies to integer samples only")
     if predictor == 3 and dt.kind != "f":
         raise ValueError("predictor 3 applies to floating-point samples only")
+    if planar not in (1, 2):
+        raise ValueError("planar must be 1 (chunky) or 2 (band-separate)")
+    if comp_code == 7:
+        if dt != np.dtype(np.uint8):
+            raise ValueError("JPEG-in-TIFF requires uint8 samples")
+        if spp not in (1, 3):
+            raise ValueError("JPEG-in-TIFF requires 1 or 3 bands")
+        if predictor != 1 or planar != 1:
+            raise ValueError("JPEG-in-TIFF supports no predictor, chunky only")
     fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
     bits = dt.itemsize * 8
     if predictor == 2:
@@ -605,17 +892,49 @@ def tiff_encode(
 
     rps = min(64, h)
     strips = []
-    for y0 in range(0, h, rps):
-        block = np.ascontiguousarray(le[y0 : y0 + rps])
-        if predictor == 3:
-            be = block.astype(dt.newbyteorder(">"))
-            rows = np.frombuffer(be.tobytes(), np.uint8).reshape(
-                block.shape[0], w * spp * dt.itemsize
+    jpeg_tables_blob = None
+    if comp_code == 7:
+        from gis_scripts_spark.raster import jpeg as jpeg_mod
+
+        jpeg_tables_blob = jpeg_mod.jpeg_tables_stream(
+            quality=jpeg_quality, gray=(spp == 1)
+        )
+        src = img[:, :, 0] if spp == 1 else img
+        for y0 in range(0, h, rps):
+            strips.append(
+                jpeg_mod.jpeg_encode(
+                    np.ascontiguousarray(src[y0 : y0 + rps]),
+                    quality=jpeg_quality, subsampling="4:4:4", abbreviated=True,
+                )
             )
-            raw = _fp3_encode_rows(rows, dt.itemsize, spp).tobytes()
-        else:
-            raw = block.tobytes()
-        strips.append(pack(raw))
+    elif planar == 2:
+        # band-separate: all strips of band 0, then band 1, ... Each plane
+        # block has ONE sample per pixel -> predictor stride 1 (predictor-2
+        # deltas are identical to the chunky per-band deltas already in le)
+        for band in range(spp):
+            for y0 in range(0, h, rps):
+                block = np.ascontiguousarray(le[y0 : y0 + rps, :, band])
+                if predictor == 3:
+                    be = block.astype(dt.newbyteorder(">"))
+                    rows = np.frombuffer(be.tobytes(), np.uint8).reshape(
+                        block.shape[0], w * dt.itemsize
+                    )
+                    raw = _fp3_encode_rows(rows, dt.itemsize, 1).tobytes()
+                else:
+                    raw = block.tobytes()
+                strips.append(pack(raw))
+    else:
+        for y0 in range(0, h, rps):
+            block = np.ascontiguousarray(le[y0 : y0 + rps])
+            if predictor == 3:
+                be = block.astype(dt.newbyteorder(">"))
+                rows = np.frombuffer(be.tobytes(), np.uint8).reshape(
+                    block.shape[0], w * spp * dt.itemsize
+                )
+                raw = _fp3_encode_rows(rows, dt.itemsize, spp).tobytes()
+            else:
+                raw = block.tobytes()
+            strips.append(pack(raw))
 
     entries: list[tuple[int, int, int, object]] = [
         (TAG_WIDTH, 4, 1, w),
@@ -625,11 +944,13 @@ def tiff_encode(
         (TAG_PHOTOMETRIC, 3, 1, 1),
         (TAG_SAMPLES_PER_PIXEL, 3, 1, spp),
         (TAG_ROWS_PER_STRIP, 4, 1, rps),
-        (TAG_PLANAR, 3, 1, 1),
+        (TAG_PLANAR, 3, 1, planar),
         (TAG_SAMPLE_FORMAT, 3, spp, [fmt] * spp),
     ]
     if predictor in (2, 3):
         entries.append((TAG_PREDICTOR, 3, 1, predictor))
+    if jpeg_tables_blob is not None:
+        entries.append((TAG_JPEG_TABLES, 7, len(jpeg_tables_blob), jpeg_tables_blob))
     if pixel_scale is not None:
         entries.append((TAG_MODEL_PIXEL_SCALE, 12, 3, list(pixel_scale)[:3]))
     if tiepoint is not None:
@@ -659,7 +980,7 @@ def tiff_encode(
     overflow = bytearray()
 
     def value_bytes(typ, cnt, val):
-        if typ == 2:
+        if typ in (2, 7):  # ascii / undefined: raw bytes
             return bytes(val)
         if typ == 12:
             return struct.pack("<" + str(cnt) + "d", *val)

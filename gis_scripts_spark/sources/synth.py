@@ -57,18 +57,23 @@ def _seed_for(image_id: str) -> int:
     return int.from_bytes(hashlib.blake2b(image_id.encode(), digest_size=8).digest(), "big")
 
 
-def make_image_row(i: int, seed: int = 42, sizes: tuple = _SIZES) -> dict:
+def make_image_row(
+    i: int, seed: int = 42, sizes: tuple = _SIZES, fmts: tuple = ("png", "qnt")
+) -> dict:
     """One deterministic image row, keyed only by (i, seed). `sizes`
     selects the pixel-dimension profile (default 32/64/128 mixed); the
     tens-of-millions-row scaling table uses (32,) so real encoded bytes
     fit sandbox disk — the measured query prunes the bytes column either
-    way, so the profile does not enter the timing."""
+    way, so the profile does not enter the timing. `fmts` selects the
+    codec mix — default (png, qnt) keeps historical fixtures bit-stable;
+    pass ("png", "qnt", "jpeg") for the full input_hint mix with real
+    baseline-JPEG bytes (raster/jpeg.py)."""
     image_id = f"img_{i:08d}"
     rng = np.random.default_rng(_seed_for(f"{seed}:{image_id}"))
     w = int(sizes[int(rng.integers(0, len(sizes)))])
     h = int(sizes[int(rng.integers(0, len(sizes)))])
     bands = int(3 if rng.random() < 0.5 else 1)
-    fmt = "png" if rng.random() < 0.5 else "qnt"
+    fmt = str(fmts[int(rng.random() * len(fmts))]) if len(fmts) > 1 else str(fmts[0])
     # smooth-ish content: low-freq gradient + noise (compressible, non-flat)
     yy, xx = np.mgrid[0:h, 0:w]
     base = (
@@ -106,13 +111,13 @@ def make_image_row(i: int, seed: int = 42, sizes: tuple = _SIZES) -> dict:
 
 def images_df(
     spark: SparkSession, n: int, seed: int = 42, parts: int | None = None,
-    sizes: tuple = _SIZES,
+    sizes: tuple = _SIZES, fmts: tuple = ("png", "qnt"),
 ) -> DataFrame:
     """Distributed deterministic image table of n rows."""
 
     def gen(batches):
         for pdf in batches:
-            rows = [make_image_row(int(i), seed, sizes) for i in pdf["id"]]
+            rows = [make_image_row(int(i), seed, sizes, fmts) for i in pdf["id"]]
             out = pd.DataFrame(rows)
             out["bytes"] = out["bytes"].map(bytearray)
             yield out

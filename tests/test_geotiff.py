@@ -43,16 +43,25 @@ def test_tiff_multi_strip_and_codec_sniff():
 def test_tiff_rejects_unknown_compression():
     arr = np.zeros((4, 4), np.uint8)
     buf = bytearray(geotiff.tiff_encode(arr, compress=False))
-    # patch the Compression tag value to 7 (old-style JPEG — unsupported)
+    # patch the Compression tag to CCITT G3 (3) — genuinely unsupported
+    # (7 = new-style JPEG is a REAL codec since round 5, raster/jpeg.py)
     import struct
     (ifd_off,) = struct.unpack_from("<I", buf, 4)
     (n,) = struct.unpack_from("<H", buf, ifd_off)
     for i in range(n):
         tag, = struct.unpack_from("<H", buf, ifd_off + 2 + 12 * i)
         if tag == geotiff.TAG_COMPRESSION:
-            struct.pack_into("<H", buf, ifd_off + 2 + 12 * i + 8, 7)
+            struct.pack_into("<H", buf, ifd_off + 2 + 12 * i + 8, 3)
     with pytest.raises(NotImplementedError):
         geotiff.tiff_decode(bytes(buf))
+    # compression 7 with a non-JPEG strip payload fails loudly too
+    buf2 = bytearray(geotiff.tiff_encode(arr, compress=False))
+    for i in range(n):
+        tag, = struct.unpack_from("<H", buf2, ifd_off + 2 + 12 * i)
+        if tag == geotiff.TAG_COMPRESSION:
+            struct.pack_into("<H", buf2, ifd_off + 2 + 12 * i + 8, 7)
+    with pytest.raises(ValueError):
+        geotiff.tiff_decode(bytes(buf2))
 
 
 def test_ingest_geotiffs(spark, tmp_path):
