@@ -80,12 +80,23 @@ def coverage_join(
     `broadcast_candidates="auto"` (default) is the safety valve the r3
     advice asked for: an unconditional F.broadcast hint bypasses
     autoBroadcastJoinThreshold and would OOM the driver on a huge
-    candidate set. Auto gates on the worst-case bound |footprints| x
-    |rects| first (two metadata-only counts — the cover UDF does NOT run,
-    so the common small case pays ~nothing); only when that bound exceeds
-    `max_broadcast_candidates` does it materialize + exact-count the
-    candidate frame (persisted, so the work is reused by the join).
-    Pass True/False to force either plan shape explicitly."""
+    candidate set. Auto persists the ids-only candidate frame and gates on
+    its EXACT count (r4 advice fix — the old |footprints| x |rects| product
+    bound both re-ran arbitrary upstream lineage for its "metadata-only"
+    counts and tripped the expensive path on tiny true candidate sets).
+    The count job runs the cover+dedup pipeline once, and the subsequent
+    join reuses the persisted result, so auto costs one extra count of a
+    CACHED frame — but it is still one more Spark job than an explicit
+    setting. Pass True for known-small dims (zero extra jobs, the
+    queries.py pattern) or False to force the shuffle path.
+
+    The persisted candidate frame is deliberately NOT auto-unpersisted
+    (r4 advice: a weakref.finalize on the returned frame unpersisted the
+    cache as soon as a caller dropped the parent after deriving a child,
+    silently recomputing the dedup shuffle). MEMORY_AND_DISK blocks are
+    evicted LRU by Spark when space is needed; callers wanting immediate
+    release can unpersist via the returned frame's `_coverage_join_cand`
+    attribute."""
     cov = _cover_wkb_udf(z)
     fp_src = footprints_df.select(
         F.col(fp_id).alias("_fid"), F.col(wkb_col).alias("_wkb")
@@ -136,22 +147,13 @@ def coverage_join(
         .select("_fid", "_rid", "x_min", "y_min", "x_max", "y_max")
         .dropDuplicates(["_fid", "_rid"])  # ids+bbox only in this Exchange
     )
-    auto_counted = False
+    cand_cached = None
     if broadcast_candidates == "auto":
-        import weakref
-
-        # cheap gate first: |footprints| x |rects| bounds the dedup'd
-        # candidate count from above, and both are metadata-only counts
-        # (no cover UDF runs). Only when that worst case exceeds the
-        # ceiling do we pay an exact count of the materialized candidates.
-        n_fp = footprints_df.select(fp_id).count()
-        n_rects = rects_df.count()
-        if n_fp * n_rects <= max_broadcast_candidates:
-            do_broadcast = True
-        else:
-            cand = cand.persist()
-            auto_counted = True
-            do_broadcast = cand.count() <= max_broadcast_candidates
+        # exact gate: persist the ids-only candidate frame and count it —
+        # the count is the real quantity the broadcast decision needs, and
+        # the persisted result feeds the join so the pipeline runs once
+        cand = cand_cached = cand.persist()
+        do_broadcast = cand.count() <= max_broadcast_candidates
     else:
         do_broadcast = bool(broadcast_candidates)
     cand_side = F.broadcast(cand) if do_broadcast else cand
@@ -164,14 +166,6 @@ def coverage_join(
         out.filter(F.col("coverage") > min_coverage)
         .select(F.col("_fid").alias(fp_id), F.col("_rid").alias(rect_id), "coverage")
     )
-    if auto_counted:
-        # release the candidate cache when the result frame is dropped
-        # (unpersisting earlier would invalidate the dependent cached plan)
-        def _release(c=cand):
-            try:
-                c.unpersist(False)
-            except Exception:
-                pass  # session already stopped
-
-        weakref.finalize(res, _release)
+    # explicit release handle; no weakref auto-unpersist (see docstring)
+    res._coverage_join_cand = cand_cached
     return res

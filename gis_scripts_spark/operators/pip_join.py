@@ -148,6 +148,7 @@ def pip_join(
     wkb_col: str = "wkb",
     broadcast_cover: bool | str = "auto",
     max_broadcast_polys: int = 100_000,
+    max_broadcast_bytes: int = 256 * 1024 * 1024,
     salt: int | None = None,
     hot_cells: list[int] | None = None,
 ) -> DataFrame:
@@ -158,11 +159,15 @@ def pip_join(
     `broadcast_cover=True`: cover table is broadcast (AOI layers). False:
     shuffle-hash equi-join on cell, WKB carried through the join.
     "auto" (default) is the OOM safety valve: the broadcast path needs a
-    driver collect of the polygon rows anyway, so auto makes that collect
-    BOUNDED (`limit(max_broadcast_polys + 1)`) — zero extra jobs when the
-    layer is an AOI/admin dim (the common case), and a clean fallback to
-    the shuffle-hash path when the table is too big to ship to the
-    driver (10^6+ polygon layers).
+    driver collect of the polygon rows anyway, so auto BOUNDS that collect
+    on BOTH axes (r4 advice): a first cheap probe job aggregates
+    count + sum(length(wkb)) over the `limit(max_broadcast_polys + 1)`
+    frame (never shipping WKB to the driver), and only if the layer is
+    within `max_broadcast_polys` rows AND `max_broadcast_bytes` total WKB
+    does the real collect run — 100k multipolygons with GB-scale WKB fall
+    back to the shuffle-hash path instead of exhausting driver memory.
+    Cost: one extra bounded aggregate job (runs the upstream lineage of
+    `polys_df` once more — keep explicit True for known-small dims).
 
     `salt` + `hot_cells`: replicate cover rows of hot cells `salt` ways and
     spread their points across replicas via a deterministic hash — the skew
@@ -175,11 +180,16 @@ def pip_join(
 
     rows = None
     if broadcast_cover == "auto":
-        rows = polys_df.select(poly_id, wkb_col).limit(max_broadcast_polys + 1).collect()
-        if len(rows) > max_broadcast_polys:
-            rows = None
+        probe = (
+            polys_df.select(F.length(F.col(wkb_col)).alias("_len"))
+            .limit(max_broadcast_polys + 1)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("_len").alias("b"))
+            .collect()[0]
+        )
+        if int(probe["n"]) > max_broadcast_polys or int(probe["b"] or 0) > max_broadcast_bytes:
             broadcast_cover = False  # too big to drive: shuffle-hash path
         else:
+            rows = polys_df.select(poly_id, wkb_col).collect()
             broadcast_cover = True
     elif broadcast_cover:
         rows = polys_df.select(poly_id, wkb_col).collect()
