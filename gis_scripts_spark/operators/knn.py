@@ -67,6 +67,8 @@ def knn_join(
     max_rounds: int = 10,
     initial_r: int | None = None,
     n_points_hint: int | None = None,
+    adaptive_radius: bool = True,
+    telemetry: dict | None = None,
 ) -> DataFrame:
     """Exact kNN: for each query row, its k nearest points.
 
@@ -77,6 +79,23 @@ def knn_join(
     queries resolve in round one (expected k-th-neighbor radius × 1.5 —
     each extra round costs two shuffles, so starting too small dominates
     wall-clock; starting too large only pads the candidate lists).
+
+    `adaptive_radius` (euclid2 path): the GLOBAL density radius is exactly
+    wrong on skewed data — a hot cluster at 64× the global density probes
+    the same (2r+1)² ring but collects 64× the candidates per query (the
+    r4→r5 material-size bench measured ~250M of ~300M candidate rows coming
+    from a 10%-of-rows hot spot, saturating the sort's memory bandwidth into
+    ANTI-scaling). With this flag each query whose own cell holds ≥ 4k
+    points starts at its LOCAL density radius (clipped to [1, initial_r])
+    via one ids-only groupBy(cell).count() + equi-join; sparse cells keep
+    the global radius. Purely a work-sizing hint: the per-row resolve bound
+    below uses the radius actually probed, so results are exact either way
+    (an under-probed query just re-runs with doubled radius).
+
+    `telemetry`: optional dict filled with {"initial_r", "rounds":
+    [{"r", "n_resolved", "seconds"}]} — per-round resolved counts cost one
+    extra count job per round (the r4 directive-#6 evidence hook; leave
+    None in production).
     """
     spark = points_df.sparkSession
     cell_h = cells_mod.cell_size_deg(z)[1]
@@ -214,29 +233,85 @@ def knn_join(
         exp_kth_deg = float(np.sqrt(k / (np.pi * density)))
         initial_r = int(np.clip(np.ceil(1.5 * exp_kth_deg / cell_h), 1, grid_n))
 
+    if telemetry is not None:
+        telemetry["initial_r"] = int(initial_r)
+        telemetry["rounds"] = []
     resolved_parts: list[DataFrame] = []
     round_caches: list[DataFrame] = []
     unresolved = qry
     r = initial_r
     use_jvm = metric == "euclid2"
+    if use_jvm:
+        # per-query starting radius (see `adaptive_radius` docstring). The
+        # count+join is ids-only; the join also pre-shuffles queries by
+        # _qcell — the exact partitioning the candidate join needs anyway.
+        rlit = F.lit(int(initial_r)).cast("long")
+        if adaptive_radius and initial_r > 1:
+            cw, ch = cells_mod.cell_size_deg(z)
+            cnts = pts.groupBy(F.col("_pcell").alias("_qcell")).agg(
+                F.count(F.lit(1)).alias("_cc")
+            )
+            dens = F.col("_cc").cast("double") / F.lit(cw * ch)
+            r_formula = F.ceil(
+                F.lit(1.5)
+                * F.sqrt(F.lit(float(k)) / (F.lit(float(np.pi)) * dens))
+                / F.lit(cell_h)
+            ).cast("long")
+            r_ad = F.when(
+                F.col("_cc") >= F.lit(4 * k),
+                F.greatest(F.lit(1).cast("long"), F.least(r_formula, rlit)),
+            ).otherwise(rlit)
+            unresolved = (
+                unresolved.join(cnts, "_qcell", "left")
+                .withColumn("_r", F.coalesce(r_ad, rlit))
+                .drop("_cc")
+            )
+        else:
+            unresolved = unresolved.withColumn("_r", rlit)
+        # referenced by both the probe groupBy and the candidate join each
+        # round — persist so the cnts-join lineage runs once
+        unresolved = unresolved.persist()
+        round_caches.append(unresolved)
     # max_rounds + 1 passes: if the doubling budget runs out before the
     # clamped disk covers the grid, the LAST pass forces r = grid_n so every
     # remaining query resolves (covers_grid) — no query ever silently drops
+    n_undone: int | None = None  # exact survivor count from the prior round
     for round_i in range(max_rounds + 1):
         if round_i == max_rounds:
             r = grid_n
-        qcells = unresolved.select("_qcell").distinct()
+            if use_jvm:
+                unresolved = unresolved.withColumn(
+                    "_r", F.lit(int(grid_n)).cast("long")
+                )
         if use_jvm:
             # ZERO-Python round (whole-stage codegen end-to-end): the probe
             # disk is an explode of two int sequences, the distance is pure
             # Column arithmetic (IEEE doubles — bit-identical to the numpy
             # kernel and the SQL oracle), and top-k is a window. The only
             # Python left in the euclid2 path is this loop driver.
+            # The probe radius `_cr` is per CELL (max over the cell's
+            # queries — a larger radius only pads candidates, never breaks
+            # the bound), so dense cells explode a 3×3 disk while sparse
+            # ones explode the full global-radius ring.
+            qcells = unresolved.groupBy("_qcell").agg(F.max("_r").alias("_cr"))
             gx = cells_mod.cell_gx_col(F.col("_qcell"))
             gy = cells_mod.cell_gy_col(F.col("_qcell"))
+            # anisotropic probe span: cells are cell_w wide × cell_h tall
+            # (cell_w = 2·cell_h on this grid), and the resolve bound below
+            # is min-dimension (_cr·cell_h) — so the x-span only needs
+            # ceil(_cr·cell_h/cell_w) cells for the SAME provable bound
+            # (nearest unprobed cell in x is ≥ (rx)·cell_w ≥ _cr·cell_h
+            # away). Symmetric spans probed 81 cells where 45 suffice.
+            cw = cells_mod.cell_size_deg(z)[0]
+            rx = F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("_cr").cast("double") * F.lit(cell_h / cw)).cast("long"),
+            )
             probes = (
-                qcells.withColumn("_dx", F.explode(F.sequence(F.lit(-r), F.lit(r))))
-                .withColumn("_dy", F.explode(F.sequence(F.lit(-r), F.lit(r))))
+                qcells.withColumn("_dx", F.explode(F.sequence(-rx, rx)))
+                .withColumn(
+                    "_dy", F.explode(F.sequence(-F.col("_cr"), F.col("_cr")))
+                )
                 .withColumn("_px", gx + F.col("_dx"))
                 .withColumn("_py", gy + F.col("_dy"))
                 .filter(
@@ -245,6 +320,7 @@ def knn_join(
                 )
                 .select(
                     "_qcell",
+                    "_cr",
                     (
                         F.lit(z).cast("long") * F.lit(1 << 58).cast("long")
                         + F.col("_px") * F.lit(1 << 29).cast("long")
@@ -252,31 +328,53 @@ def knn_join(
                     ).alias("_probe"),
                 )
             )
-        else:
-            probes = qcells.mapInPandas(make_probes(r), probe_schema)
-        cand = probes.join(
-            pts.hint("shuffle_hash"), probes["_probe"] == pts["_pcell"], "inner"
-        ).select("_qcell", "_pid", "_plon", "_plat")
-        if use_jvm:
-            joined = unresolved.join(cand, "_qcell")
+            # round 1 is the bulk join: shuffle-hash both sides. Later
+            # rounds have a provably bounded probe count (n_undone cells ×
+            # the disk size, known exactly from the previous round's count)
+            # — broadcast the probes so the 10^? -row points table is NOT
+            # re-shuffled just to serve a handful of retries (measured as a
+            # ~3s/round fixed cost at material size).
+            probe_bound = (
+                None
+                if n_undone is None
+                else n_undone * (2 * min(r, grid_n) + 1) ** 2
+            )
+            if probe_bound is not None and probe_bound <= 2_000_000:
+                cand = F.broadcast(probes).join(
+                    pts, probes["_probe"] == pts["_pcell"], "inner"
+                ).select("_qcell", "_cr", "_pid", "_plon", "_plat")
+            else:
+                cand = probes.join(
+                    pts.hint("shuffle_hash"), probes["_probe"] == pts["_pcell"], "inner"
+                ).select("_qcell", "_cr", "_pid", "_plon", "_plat")
+            joined = unresolved.drop("_r").join(cand, "_qcell")
             if exclude_self:
                 joined = joined.filter(F.col("_pid") != F.col("_qid"))
             dx = F.col("_plon") - F.col("_qlon")
             dy = F.col("_plat") - F.col("_qlat")
             joined = joined.withColumn("dist", dx * dx + dy * dy)
-            w_rank = Window.partitionBy("_qid").orderBy("dist", "_pid")
-            w_all = Window.partitionBy("_qid")
-            ranked = joined.withColumn("rank", F.row_number().over(w_rank)).withColumn(
-                "_n_cand", F.count(F.lit(1)).over(w_all)
-            )
+            # partition the rank window by (_qcell, _qid): a query's
+            # candidates all live in its single cell group, so the window
+            # semantics are identical to partitionBy(_qid) — but the join's
+            # existing hashpartitioning(_qcell) SATISFIES the clustered
+            # distribution of the superset key, so the full-size candidate
+            # frame gets a local sort instead of another Exchange (r5: the
+            # all-candidates re-shuffle dominated material-size rounds)
+            w_rank = Window.partitionBy("_qcell", "_qid").orderBy("dist", "_pid")
+            ranked = joined.withColumn("rank", F.row_number().over(w_rank))
             top = ranked.filter(F.col("rank") <= k)
-            covers_grid = r >= grid_n
-            bound2 = float((r * cell_h) ** 2)
-            kth = F.max("dist").over(w_all)
-            resolved = (
-                F.lit(True)
-                if covers_grid
-                else (F.col("_n_cand") >= k) & (kth <= F.lit(bound2))
+            # candidate-count + kth-distance stats over the TOP frame
+            # (<= k rows/query), not over all candidates: n_top == k is
+            # equivalent to n_cand >= k, and the k-th distance is the max
+            # of the top list — the stats window input shrinks from the
+            # full candidate join to k x |queries| rows. The resolve bound
+            # uses the radius the query's CELL actually probed (`_cr`).
+            w_small = Window.partitionBy("_qid")
+            kth = F.max("dist").over(w_small)
+            n_top = F.count(F.lit(1)).over(w_small)
+            bound_col = F.col("_cr").cast("double") * F.lit(cell_h)
+            resolved = (F.col("_cr") >= F.lit(int(grid_n))) | (
+                (n_top >= k) & (kth <= bound_col * bound_col)
             )
             scored = top.select(
                 F.col("_qid").alias("query_id"),
@@ -286,6 +384,11 @@ def knn_join(
                 resolved.alias("_resolved"),
             ).persist()
         else:
+            qcells = unresolved.select("_qcell").distinct()
+            probes = qcells.mapInPandas(make_probes(r), probe_schema)
+            cand = probes.join(
+                pts.hint("shuffle_hash"), probes["_probe"] == pts["_pcell"], "inner"
+            ).select("_qcell", "_pid", "_plon", "_plat")
             # persist: scored is consumed twice per round and by the final
             # union (per-round localCheckpoint measured 8x slower — it
             # defeats AQE and re-materializes). The cache is released by
@@ -298,6 +401,9 @@ def knn_join(
         round_caches.append(scored)
         done = scored.filter(F.col("_resolved") & F.col("neighbor_id").isNotNull()).drop("_resolved")
         resolved_parts.append(done)
+        import time as _time
+
+        _t0 = _time.perf_counter()
         if use_jvm:
             # queries with zero candidates never appear in `scored` — the
             # anti-join keeps them in play (ADVICE: nothing silently drops)
@@ -305,15 +411,35 @@ def knn_join(
                 F.col("query_id").alias("_qid")
             ).distinct()
             # no broadcast hint: done_q is ~all queries in round 1 (too big
-            # to broadcast at scale); AQE picks the strategy
-            undone = unresolved.join(done_q, "_qid", "left_anti")
-            if undone.isEmpty():
+            # to broadcast at scale); AQE picks the strategy. The surviving
+            # frame is PERSISTED and its emptiness read off one count job:
+            # without the persist, every later-round reference (qcells, the
+            # candidate join, the next anti-join) re-executes the whole
+            # chain of prior anti-joins — measured as a ~6s FIXED cost per
+            # round even with 4 surviving queries (r5 material-size bench).
+            undone = unresolved.join(done_q, "_qid", "left_anti").persist()
+            round_caches.append(undone)
+            n_undone = undone.count()
+            if telemetry is not None:
+                telemetry["rounds"].append(
+                    {
+                        "r": int(r),
+                        "n_unresolved_after": int(n_undone),
+                        "seconds": round(_time.perf_counter() - _t0, 3),
+                    }
+                )
+            if n_undone == 0:
                 break
-            unresolved = undone
+            unresolved = undone.withColumn(
+                "_r",
+                F.least(F.col("_r") * 2, F.lit(int(grid_n)).cast("long")),
+            )
         else:
             undone_ids = (
                 scored.filter(~F.col("_resolved")).select(F.col("query_id").alias("_qid")).distinct()
             )
+            if telemetry is not None:
+                telemetry["rounds"].append({"r": int(r)})
             if undone_ids.isEmpty():
                 break
             unresolved = unresolved.join(F.broadcast(undone_ids), "_qid", "left_semi")

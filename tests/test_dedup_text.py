@@ -154,3 +154,25 @@ def test_cluster_pairs_distributed_deep_chain(spark):
     )
     assert len(got) == 50
     assert (got["cluster_id"] == 0).all()
+
+
+def test_cluster_pairs_check_every_2_identical(spark):
+    """r4 directive #7 (optional): batching the convergence check every 2
+    rounds must give IDENTICAL clusters (labels are monotone — extra
+    rounds past the fixpoint are no-ops), with telemetry recording which
+    rounds ran the driver check."""
+    import pandas as pd
+
+    pairs = pd.DataFrame({
+        "id_a": [0, 1, 2, 10, 11, 20],
+        "id_b": [1, 2, 3, 11, 12, 21],
+    })
+    df = spark.createDataFrame(pairs)
+    want = sorted(map(tuple, dedup.cluster_pairs_distributed(df).collect()))
+    tel = {}
+    got = sorted(map(tuple, dedup.cluster_pairs_distributed(
+        df, check_every=2, telemetry=tel).collect()))
+    assert got == want
+    checked = [r["checked"] for r in tel["rounds"]]
+    assert checked.count(True) <= (len(checked) + 1) // 2 + 1
+    assert all("seconds" in r for r in tel["rounds"])

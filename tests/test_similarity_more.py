@@ -126,3 +126,33 @@ def test_lsh_topk_matches_exact_on_candidates(spark, emb):
     # ranks within each query must be 1..n contiguous and unique
     for _, grp in approx.groupby("query_id"):
         assert sorted(grp["rank"]) == list(range(1, len(grp) + 1))
+
+
+def test_knn_adaptive_radius_hotspot_exact(spark):
+    """r5: density-adaptive initial radius — a 50x-density hot cluster must
+    produce IDENTICAL rows with adaptive_radius on and off (the adaptive
+    radius is a work-sizing hint; the per-cell resolve bound keeps the
+    result exact), and both must match numpy brute force."""
+    rng = np.random.default_rng(7)
+    hot = rng.uniform([-100.4, 39.0], [-100.0, 39.4], size=(300, 2))
+    cold = rng.uniform([-170.0, -50.0], [170.0, 60.0], size=(150, 2))
+    xy = np.vstack([hot, cold])
+    pdf = pd.DataFrame({"pid": np.arange(len(xy)), "lon": xy[:, 0], "lat": xy[:, 1]})
+    df = spark.createDataFrame(pdf)
+    kwargs = dict(k=4, z=7, point_id="pid", query_id="pid", exclude_self=True)
+    a = knn.knn_join(df, df, adaptive_radius=True, **kwargs).toPandas()
+    b = knn.knn_join(df, df, adaptive_radius=False, **kwargs).toPandas()
+    key = ["query_id", "rank"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # brute-force spot check, euclid2 with (dist, id) tie-break
+    lon, lat, ids = pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), pdf["pid"].to_numpy()
+    for qi in range(0, len(xy), 37):
+        d = (lon - lon[qi]) ** 2 + (lat - lat[qi]) ** 2
+        d[qi] = np.inf
+        want = [ids[o] for o in np.lexsort((ids, d))[:4]]
+        sub = a[a["query_id"] == ids[qi]].sort_values("rank")
+        assert sub["neighbor_id"].tolist() == want, f"query {ids[qi]}"
+    counts = a.groupby("query_id").size()
+    assert (counts == 4).all() and len(counts) == len(xy)

