@@ -79,8 +79,12 @@ def parse_las(buf: bytes) -> pd.DataFrame:
     ver_major, ver_minor = buf[24], buf[25]
     if ver_major != 1:
         raise ValueError(f"unsupported LAS version {ver_major}.{ver_minor}")
+    if buf[104] & 0x80:  # compressed (LAZ): route to the chunked codec
+        from gis_scripts_spark.sources import laz as _laz
+
+        return _laz.parse_laz(buf)
     (pt_off,) = struct.unpack_from("<I", buf, 96)
-    fmt = buf[104] & 0x3F  # high bits flag internal compression variants
+    fmt = buf[104] & 0x3F
     (rec_len,) = struct.unpack_from("<H", buf, 105)
     (n_pts,) = struct.unpack_from("<I", buf, 107)
     sx, sy, sz = struct.unpack_from("<3d", buf, 131)
