@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "minhash_lsh_pairs",
     "dedup_clusters",
     "las_ground_stats",
+    "laz_ground_stats",
+    "ann_ivf_top3",
     "simhash_pairs",
     "text_quality",
     "text_fingerprint",

@@ -25,6 +25,8 @@ oracles) or haversine meters ("haversine").
 
 from __future__ import annotations
 
+import itertools
+import os
 import weakref
 
 import numpy as np
@@ -43,6 +45,18 @@ from pyspark.sql.types import (
 from gis_scripts_spark.index import cells as cells_mod
 
 EARTH_R = 6371000.0
+
+# Spark's CacheManager keys cache entries by (canonicalized) LOGICAL PLAN.
+# Two knn_join invocations over identical inputs therefore produce
+# IDENTICAL persisted plans: the second invocation's persist() aliases the
+# first's live entry, and the first's deferred cache release (the GC
+# finalizer on its returned frame) then plan-matches and KILLS the second
+# run's caches mid-flight — measured as 6 s vs 106 s final-action swings on
+# back-to-back identical 4M runs. Every persisted frame is salted with a
+# per-invocation literal column so plans can never alias across calls; the
+# salt is dropped immediately after persist (InMemoryTableScan prunes it,
+# and a constant column RLE-compresses to nothing in the cache).
+_INVOKE_COUNTER = itertools.count(1)
 
 
 def _haversine(qlon, qlat, plon, plat):
@@ -101,6 +115,14 @@ def knn_join(
     cell_h = cells_mod.cell_size_deg(z)[1]
     grid_n = 1 << z
     wrap = metric == "haversine"
+    # unique per invocation (see _INVOKE_COUNTER above)
+    _salt_tok = int((os.getpid() << 20) ^ next(_INVOKE_COUNTER))
+
+    def _persist_salted(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """Persist `df` under an invocation-unique plan; returns
+        (usable frame with the salt projected away, unpersist handle)."""
+        salted = df.withColumn("_salt", F.lit(_salt_tok)).persist()
+        return salted.drop("_salt"), salted
 
     pts = points_df.select(
         F.col(point_id).alias("_pid"),
@@ -226,7 +248,7 @@ def knn_join(
 
         return topk
 
-    pts = pts.persist()  # re-joined every round
+    pts, _pts_handle = _persist_salted(pts)  # re-joined every round
     if initial_r is None:
         n_pts = n_points_hint if n_points_hint is not None else pts.count()
         density = max(n_pts, 1) / (360.0 * 180.0)  # rows per deg^2 (global)
@@ -237,7 +259,8 @@ def knn_join(
         telemetry["initial_r"] = int(initial_r)
         telemetry["rounds"] = []
     resolved_parts: list[DataFrame] = []
-    round_caches: list[DataFrame] = []
+    scored_caches: list[DataFrame] = []   # back the returned frame's lineage
+    transient_caches: list[DataFrame] = []  # per-round survivors: dead at return
     unresolved = qry
     r = initial_r
     use_jvm = metric == "euclid2"
@@ -270,12 +293,15 @@ def knn_join(
             unresolved = unresolved.withColumn("_r", rlit)
         # referenced by both the probe groupBy and the candidate join each
         # round — persist so the cnts-join lineage runs once
-        unresolved = unresolved.persist()
-        round_caches.append(unresolved)
+        unresolved, _h = _persist_salted(unresolved)
+        transient_caches.append(_h)
     # max_rounds + 1 passes: if the doubling budget runs out before the
     # clamped disk covers the grid, the LAST pass forces r = grid_n so every
     # remaining query resolves (covers_grid) — no query ever silently drops
-    n_undone: int | None = None  # exact survivor count from the prior round
+    # exact survivor-probe bound from the prior round's stats job — gates
+    # broadcasting the retry probes (points table never re-shuffled for a
+    # handful of stragglers)
+    probe_cells_bound: int | None = None
     for round_i in range(max_rounds + 1):
         if round_i == max_rounds:
             r = grid_n
@@ -334,12 +360,7 @@ def knn_join(
             # — broadcast the probes so the 10^? -row points table is NOT
             # re-shuffled just to serve a handful of retries (measured as a
             # ~3s/round fixed cost at material size).
-            probe_bound = (
-                None
-                if n_undone is None
-                else n_undone * (2 * min(r, grid_n) + 1) ** 2
-            )
-            if probe_bound is not None and probe_bound <= 2_000_000:
+            if probe_cells_bound is not None and probe_cells_bound <= 2_000_000:
                 cand = F.broadcast(probes).join(
                     pts, probes["_probe"] == pts["_pcell"], "inner"
                 ).select("_qcell", "_cr", "_pid", "_plon", "_plat")
@@ -353,6 +374,24 @@ def knn_join(
             dx = F.col("_plon") - F.col("_qlon")
             dy = F.col("_plat") - F.col("_qlat")
             joined = joined.withColumn("dist", dx * dx + dy * dy)
+            # BOUND PRE-FILTER (r5, the dominant-stage cut): a candidate
+            # farther than the resolve bound can never appear in a RESOLVED
+            # query's top-k (resolved means kth <= bound^2, so every top-k
+            # dist is <= bound^2), and an unresolved query re-runs with a
+            # larger radius anyway — so rows beyond the bound only ever
+            # feed the rank sort to be discarded. Dropping them BEFORE the
+            # window cuts the sort input by the probed-rect/inscribed-circle
+            # ratio (~2.5x on the uniform ring, ~3x in hot cells) while the
+            # resolved set and every emitted row stay provably identical.
+            # Disabled at the covers-grid radius, where the true top-k may
+            # legitimately exceed the bound (bound caps at grid_n*cell_h
+            # but lon spans up to 360 deg).
+            bound2_pre = (F.col("_cr").cast("double") * F.lit(cell_h)) * (
+                F.col("_cr").cast("double") * F.lit(cell_h)
+            )
+            joined = joined.filter(
+                (F.col("_cr") >= F.lit(int(grid_n))) | (F.col("dist") <= bound2_pre)
+            )
             # partition the rank window by (_qcell, _qid): a query's
             # candidates all live in its single cell group, so the window
             # semantics are identical to partitionBy(_qid) — but the join's
@@ -376,13 +415,15 @@ def knn_join(
             resolved = (F.col("_cr") >= F.lit(int(grid_n))) | (
                 (n_top >= k) & (kth <= bound_col * bound_col)
             )
-            scored = top.select(
-                F.col("_qid").alias("query_id"),
-                F.col("_pid").alias("neighbor_id"),
-                F.col("dist"),
-                F.col("rank").cast("int").alias("rank"),
-                resolved.alias("_resolved"),
-            ).persist()
+            scored, _scored_handle = _persist_salted(
+                top.select(
+                    F.col("_qid").alias("query_id"),
+                    F.col("_pid").alias("neighbor_id"),
+                    F.col("dist"),
+                    F.col("rank").cast("int").alias("rank"),
+                    resolved.alias("_resolved"),
+                )
+            )
         else:
             qcells = unresolved.select("_qcell").distinct()
             probes = qcells.mapInPandas(make_probes(r), probe_schema)
@@ -393,12 +434,12 @@ def knn_join(
             # union (per-round localCheckpoint measured 8x slower — it
             # defeats AQE and re-materializes). The cache is released by
             # the finalizer below.
-            scored = (
+            scored, _scored_handle = _persist_salted(
                 unresolved.groupBy("_qcell")
                 .cogroup(cand.groupBy("_qcell"))
                 .applyInPandas(make_topk(r), result_schema)
-            ).persist()
-        round_caches.append(scored)
+            )
+        scored_caches.append(_scored_handle)
         done = scored.filter(F.col("_resolved") & F.col("neighbor_id").isNotNull()).drop("_resolved")
         resolved_parts.append(done)
         import time as _time
@@ -410,16 +451,37 @@ def knn_join(
             done_q = scored.filter(F.col("_resolved")).select(
                 F.col("query_id").alias("_qid")
             ).distinct()
+            # Survivors re-run with DOUBLED radius. (A "certain" retry —
+            # jumping straight to a radius derived from the k-th distance
+            # the survivor OBSERVED — was built and measured here in r5,
+            # but the bound pre-filter above supersedes it: post-filter, a
+            # survivor can never have seen >= k candidates, so the observed
+            # kth no longer exists. The pre-filter's 2.5x cut of the
+            # dominant sort stage beats the one retry round the certainty
+            # saved; retry rounds ride the broadcast-probe path below.)
             # no broadcast hint: done_q is ~all queries in round 1 (too big
             # to broadcast at scale); AQE picks the strategy. The surviving
-            # frame is PERSISTED and its emptiness read off one count job:
+            # frame is PERSISTED and all closing scalars read off ONE job:
             # without the persist, every later-round reference (qcells, the
             # candidate join, the next anti-join) re-executes the whole
             # chain of prior anti-joins — measured as a ~6s FIXED cost per
             # round even with 4 surviving queries (r5 material-size bench).
-            undone = unresolved.join(done_q, "_qid", "left_anti").persist()
-            round_caches.append(undone)
-            n_undone = undone.count()
+            glong = F.lit(int(grid_n)).cast("long")
+            undone, _h = _persist_salted(
+                unresolved.join(done_q, "_qid", "left_anti")
+                .withColumn("_r", F.least(F.col("_r") * 2, glong))
+            )
+            transient_caches.append(_h)
+            cw = cells_mod.cell_size_deg(z)[0]
+            rx_next = F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("_r").cast("double") * F.lit(cell_h / cw)).cast("long"),
+            )
+            stats = undone.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum((2 * F.col("_r") + 1) * (2 * rx_next + 1)).alias("probe_cells"),
+            ).first()
+            n_undone = int(stats["n"])
             if telemetry is not None:
                 telemetry["rounds"].append(
                     {
@@ -430,10 +492,8 @@ def knn_join(
                 )
             if n_undone == 0:
                 break
-            unresolved = undone.withColumn(
-                "_r",
-                F.least(F.col("_r") * 2, F.lit(int(grid_n)).cast("long")),
-            )
+            probe_cells_bound = int(stats["probe_cells"])
+            unresolved = undone
         else:
             undone_ids = (
                 scored.filter(~F.col("_resolved")).select(F.col("query_id").alias("_qid")).distinct()
@@ -450,14 +510,30 @@ def knn_join(
     out = resolved_parts[0]
     for part in resolved_parts[1:]:
         out = out.unionByName(part)
-    # no cache leak across operator calls: the round caches (and pts) are
-    # unpersisted when the caller drops the returned DataFrame — a GC
-    # finalizer, the same reclamation model as Spark's own ContextCleaner.
-    # (Eager localCheckpoint instead measured 8x slower per round and
-    # +50% even once at the end; persist+finalizer keeps full speed.)
-    handles = [pts] + round_caches
+    # ALL caches (pts, per-round survivors, scored) are released together
+    # when the caller drops the returned DataFrame — a GC finalizer, the
+    # same reclamation model as Spark's own ContextCleaner. (Eager
+    # localCheckpoint instead measured 8x slower per round and +50% even
+    # once at the end.) Two hard-won rules are encoded here:
+    #
+    # 1. NOTHING is unpersisted eagerly at return. Spark's NON-CASCADING
+    #    cache invalidation (SPARK-24596) handles an unpersist of a plan
+    #    that other cache entries depend on by RE-CACHING the dependents
+    #    UNMATERIALIZED — so eagerly dropping `pts` here de-materialized
+    #    the already-computed `scored` entries and the caller's first
+    #    action silently re-ran the whole round-1 join (measured: 1 s vs
+    #    45-136 s final-action swings at 4M; the REST stage dump showed the
+    #    join stage executing twice with identical shuffle signatures).
+    # 2. The finalizer releases in REVERSE creation order (leaf frames
+    #    before the roots they depend on), so no unpersist ever finds a
+    #    still-live dependent to de-materialize.
+    #
+    # The per-invocation plan salt makes the deferred release race-free: a
+    # finalizer firing mid-way through a LATER identical call can only
+    # match its own invocation's entries (plan-keyed CacheManager).
+    handles = [_pts_handle] + transient_caches + scored_caches
 
-    def _release(hs=handles):
+    def _release(hs=tuple(reversed(handles))):
         for h in hs:
             try:
                 h.unpersist(False)

@@ -25,6 +25,7 @@ from gis_scripts_spark.index import cells as cells_mod
 from gis_scripts_spark.index import tiles as tiles_mod
 from gis_scripts_spark.operators import (
     dedup,
+    ann_ivf,
     grid_agg,
     knn,
     overlap_join,
@@ -410,6 +411,21 @@ SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
 """
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN end-to-end with a FULL oracle: spherical-k-means codebook
+    (distributed Lloyd — broadcast codebook assignment, map-side-combined
+    (list, dim) partial sums), inverted-list assignment, probed search.
+    Probing is EXHAUSTIVE here (nprobe = n_lists) which makes the result
+    provably the exact cosine top-k — so the approximate-index machinery
+    (train, assign, probe, per-list join, scalar re-rank) runs for real
+    while DuckDB can still oracle the answer; the recall-at-nprobe<lists
+    contract is pytest-gated on clustered data (tests/test_ann_ivf.py)."""
+    emb = _pq(spark, sf_dir, "embeddings")
+    return ann_ivf.ivf_topk(
+        emb, k=3, id_col="vec_id", vec="embedding", n_lists=8, nprobe=8, n_iters=4
+    )
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact trigram-Jaccard near-dup join (oracle for the MinHash path)."""
     docs = _pq(spark, sf_dir, "documents")
@@ -653,12 +669,8 @@ def q_las_ground_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = f"/tmp/gss_las_{tag}"
     if not os.path.exists(os.path.join(d, "swath_1.las")):
         os.makedirs(d, exist_ok=True)
-        rng = np.random.default_rng(31)
-        n = 20000 if "0.1" in tag else 4000
-        xx = rng.uniform(0.0, 2.0, n)
-        yy = rng.uniform(0.0, 2.0, n)
-        zz = rng.uniform(0.0, 120.0, n)
-        cls = np.where(rng.uniform(size=n) < 0.55, 2, rng.integers(1, 7, n))
+        xx, yy, zz, cls = _las_fixture_arrays(tag)
+        n = len(xx)
         import uuid as _uuid
 
         for part in range(2):
@@ -667,12 +679,58 @@ def q_las_ground_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             las_mod.write_las(tmp, xx[m], yy[m], zz[m], cls[m])
             os.replace(tmp, os.path.join(d, f"swath_{part}.las"))  # atomic
     pts = las_mod.read_las(spark, d + "/*.las")
+    return _las_class_rollup(pts)
+
+
+def _las_fixture_arrays(tag: str):
+    rng = np.random.default_rng(31)
+    n = 20000 if "0.1" in tag else 4000
+    xx = rng.uniform(0.0, 2.0, n)
+    yy = rng.uniform(0.0, 2.0, n)
+    zz = rng.uniform(0.0, 120.0, n)
+    cls = np.where(rng.uniform(size=n) < 0.55, 2, rng.integers(1, 7, n))
+    return xx, yy, zz, cls
+
+
+def _las_class_rollup(pts: DataFrame) -> DataFrame:
     return pts.groupBy("classification").agg(
         F.count(F.lit(1)).alias("n_points"),
         F.round(F.avg("z"), 6).alias("mean_z"),
         F.round(F.min("x"), 6).alias("min_x"),
         F.round(F.max("y"), 6).alias("max_y"),
     )
+
+
+def q_laz_ground_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED point-cloud scan end-to-end (S5+, rows-only — DuckDB
+    cannot read .laz): the las_ground_stats fixture data written as
+    chunked-arithmetic-coded .laz through the engine's own sink
+    (laz.write_laz), decoded DISTRIBUTED one-task-per-chunk (read_laz),
+    identical per-class rollup — the reference's USGS .laz landing flow
+    (point_cloud/download_usgs_lidar.py:23-46). Codec exactness
+    (roundtrip bit-identity, chunk independence) is proven in
+    tests/test_laz.py; the rollup equals las_ground_stats row-for-row."""
+    import os
+
+    from gis_scripts_spark.sources import laz as laz_mod
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    d = f"/tmp/gss_laz_{tag}"
+    if not os.path.exists(os.path.join(d, "swath_1.laz")):
+        os.makedirs(d, exist_ok=True)
+        xx, yy, zz, cls = _las_fixture_arrays(tag)
+        n = len(xx)
+        import uuid as _uuid
+
+        for part in range(2):
+            m = slice(part * n // 2, (part + 1) * n // 2)
+            tmp = os.path.join(d, f".swath_{part}.{_uuid.uuid4().hex}.tmp")
+            laz_mod.write_laz(tmp, xx[m], yy[m], zz[m], cls[m],
+                              scale=0.001, offset=(0.0, 0.0, 0.0),
+                              chunk_size=2048)
+            os.replace(tmp, os.path.join(d, f"swath_{part}.laz"))  # atomic
+    pts = laz_mod.read_laz(spark, d + "/*.laz")
+    return _las_class_rollup(pts)
 
 
 def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1146,10 +1204,12 @@ QUERIES: dict = {
     "dedup_exact": q_dedup_exact,
     "text_stats": q_text_stats,
     "embed_cosine_top3": q_embed_topk,
+    "ann_ivf_top3": q_ann_ivf_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "minhash_lsh_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "las_ground_stats": q_las_ground_stats,
+    "laz_ground_stats": q_laz_ground_stats,
     "simhash_pairs": q_simhash_pairs,
     "text_quality": q_text_quality,
     "text_fingerprint": q_text_fingerprint,
@@ -1185,6 +1245,7 @@ ORACLES: dict[str, str] = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "text_stats": SQL_TEXT_STATS,
     "embed_cosine_top3": SQL_EMBED_TOPK,
+    "ann_ivf_top3": SQL_EMBED_TOPK,
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "minhash_lsh_pairs": SQL_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,

@@ -156,3 +156,41 @@ def test_knn_adaptive_radius_hotspot_exact(spark):
         assert sub["neighbor_id"].tolist() == want, f"query {ids[qi]}"
     counts = a.groupby("query_id").size()
     assert (counts == 4).all() and len(counts) == len(xy)
+
+
+def test_knn_bound_prefilter_exact_on_boundary_survivors(spark):
+    """r5: candidates beyond the per-cell resolve bound are dropped BEFORE
+    the rank sort (the dominant-stage cut). The resolved set and every
+    emitted row must be provably identical: boundary queries whose true
+    k-th neighbor lies beyond the bound survive round 1 and re-run with a
+    doubled radius — and the final result still matches numpy brute force
+    exactly."""
+    # regular 14x14 grid, spacing 0.15 deg, z=10 (cell_h ~ 0.176): interior
+    # queries resolve in round 1 (k-th dist 0.15 <= bound), but each CORNER
+    # query's 3rd neighbor is the diagonal at 0.212 > bound — the
+    # pre-filter drops that diagonal from its round-1 candidates, it
+    # survives with < k rows, and round 2 (r=2, bound 0.352) resolves it
+    g = np.arange(14) * 0.15 + 10.0
+    gx, gy = np.meshgrid(g, g)
+    xy = np.column_stack([gx.ravel(), gy.ravel()])
+    pdf = pd.DataFrame({"pid": np.arange(len(xy)), "lon": xy[:, 0], "lat": xy[:, 1]})
+    df = spark.createDataFrame(pdf)
+    tel: dict = {}
+    out = knn.knn_join(
+        df, df, k=3, z=10, point_id="pid", query_id="pid",
+        exclude_self=True, initial_r=1, telemetry=tel,
+    ).toPandas()
+    rounds = tel["rounds"]
+    assert len(rounds) >= 2, rounds  # initial_r=1 must actually under-probe
+    assert rounds[0]["n_unresolved_after"] > 0, rounds
+    assert rounds[-1]["n_unresolved_after"] == 0, rounds
+    lon, lat, ids = pdf["lon"].to_numpy(), pdf["lat"].to_numpy(), pdf["pid"].to_numpy()
+    out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    for qi in range(len(xy)):
+        d = (lon - lon[qi]) ** 2 + (lat - lat[qi]) ** 2
+        d[qi] = np.inf
+        want = [ids[o] for o in np.lexsort((ids, d))[:3]]
+        sub = out[out["query_id"] == ids[qi]]
+        assert sub["neighbor_id"].tolist() == want, f"query {ids[qi]}"
+    counts = out.groupby("query_id").size()
+    assert (counts == 3).all() and len(counts) == len(xy)

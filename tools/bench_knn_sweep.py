@@ -28,11 +28,48 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _cpu_busy_frac(interval: float = 1.5) -> float:
+    """Instantaneous host CPU busy fraction from /proc/stat (1-min loadavg
+    decays with a 60 s half-life, so after a 32-core Spark run it reads
+    'busy' for minutes of actually-idle host — this reads the truth now)."""
+    import time
+
+    def snap():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()[1:]
+        vals = [int(v) for v in parts]
+        idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+        return sum(vals), idle
+
+    t0, i0 = snap()
+    time.sleep(interval)
+    t1, i1 = snap()
+    dt = max(t1 - t0, 1)
+    return 1.0 - (i1 - i0) / dt
+
+
+def _settle(max_wait: float = 180.0, busy_max: float = 0.15) -> float:
+    """Block (bounded) until the host's other load is quiet. Returns the
+    busy fraction at release — stamped per point so the record shows which
+    measurements ran on a contended host (r4 verdict: phantom 2-3x
+    regressions from loadavg-9.9 captures)."""
+    import time
+
+    t_end = time.monotonic() + max_wait
+    while True:
+        b = _cpu_busy_frac()
+        if b <= busy_max or time.monotonic() >= t_end:
+            return round(b, 3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", type=str, default="1000000,2000000,4000000")
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--exec-cores", type=int, default=8)
+    ap.add_argument("--merge-min", action="store_true",
+                    help="take the per-point MIN vs the existing knn entry "
+                    "(alternating-pass noise discipline)")
     args = ap.parse_args()
     sizes = [int(s) for s in args.sizes.split(",")]
 
@@ -44,15 +81,34 @@ def main() -> None:
         "mode": "local-cluster",
         "loadavg_start": round(os.getloadavg()[0], 2),
         "size_sweep_seconds": {"local8": {}, "local32": {}},
+        "point_busy_at_start": {"local8": {}, "local32": {}},
     }
     for cores, key in ((args.exec_cores, "local8"), (4 * args.exec_cores, "local32")):
         for n in sizes:
+            busy = _settle()
             t = run_at(
                 cores, job_knn, n, arrow_batch=32768, mode="local-cluster",
                 runs=args.runs, exec_cores=args.exec_cores,
             )
-            entry["size_sweep_seconds"][key][f"{n // 1_000_000}M"] = round(t, 2)
-            print(json.dumps({key: {f"{n}": round(t, 2)}}), flush=True)
+            tag = f"{n // 1_000_000}M"
+            entry["size_sweep_seconds"][key][tag] = round(t, 2)
+            entry["point_busy_at_start"][key][tag] = busy
+            print(json.dumps({key: {f"{n}": round(t, 2), "busy": busy}}), flush=True)
+
+    out_path = os.path.join(REPO, "BENCH", "scaling_cluster.json")
+    with open(out_path) as f:
+        doc = json.load(f)
+    if args.merge_min and "knn" in doc:
+        prev = doc["knn"].get("size_sweep_seconds", {})
+        for key in ("local8", "local32"):
+            for tag, t in prev.get(key, {}).items():
+                cur = entry["size_sweep_seconds"][key].get(tag)
+                if cur is None or t < cur:
+                    entry["size_sweep_seconds"][key][tag] = t
+                    entry["point_busy_at_start"][key][tag] = (
+                        doc["knn"].get("point_busy_at_start", {})
+                        .get(key, {}).get(tag)
+                    )
 
     fits = {}
     for key in ("local8", "local32"):
@@ -81,14 +137,15 @@ def main() -> None:
         "a 64x-density hot-spot cluster) x n/4 queries, k=5, z=11, "
         "density-ADAPTIVE initial radius (hot cells probe 3x3, sparse cells "
         "the global ring), anisotropic probe spans, per-round persisted "
-        "survivor frame, broadcast probes on retry rounds. Marginal "
-        "efficiency from the size-sweep linear fit, same methodology as "
-        "north_table_packed."
+        "survivor frame, broadcast probes on retry rounds, CERTAIN-radius "
+        "single retry (r5: survivors with >= k observed candidates carry a "
+        "provably sufficient retry radius; closing count skipped when all "
+        "survivors are certain). Marginal efficiency from the size-sweep "
+        "linear fit, same methodology as north_table_packed. Points are "
+        "settle-gated on instantaneous /proc/stat busy and min-merged "
+        "across alternating passes; per-point busy-at-start stamped."
     )
 
-    out_path = os.path.join(REPO, "BENCH", "scaling_cluster.json")
-    with open(out_path) as f:
-        doc = json.load(f)
     doc["knn"] = entry
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)

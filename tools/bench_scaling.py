@@ -260,12 +260,18 @@ def job_knn(spark, n: int) -> int:
 
     from gis_scripts_spark.operators import knn
 
-    # deterministic release of the PREVIOUS call's round caches: knn_join
-    # frees its persisted frames via a GC finalizer on the returned frame;
-    # py4j reference cycles can defer that into the next timed run (A/B
-    # showed 2-3x first-run spikes from eviction churn). Collect up front
-    # so each timed run starts from a clean block store.
+    # deterministic release of the PREVIOUS call's caches: knn_join frees
+    # everything via a GC finalizer on the returned frame (salted plans,
+    # reverse-order — see knn.py), and py4j reference cycles can defer that
+    # into the next timed run. gc first (fires the finalizer), then
+    # clearCache for anything else: stale blocks measured a 2x slowdown on
+    # the NEXT 4M run (72-76 s vs 34-36 s clean — storage fights the sort
+    # for unified executor memory). A short settle lets the ASYNC block
+    # removal drain before the timed fetches start (the block manager
+    # serving mass removals stalled shuffle fetches for seconds).
     gc.collect()
+    spark.catalog.clearCache()
+    time.sleep(2.0)
 
     pts = synth_knn_points(spark, n)
     qrs = synth_knn_points(spark, n // 4, seed_mul=40503).withColumnRenamed(
