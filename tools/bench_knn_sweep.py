@@ -137,13 +137,15 @@ def main() -> None:
         "a 64x-density hot-spot cluster) x n/4 queries, k=5, z=11, "
         "density-ADAPTIVE initial radius (hot cells probe 3x3, sparse cells "
         "the global ring), anisotropic probe spans, per-round persisted "
-        "survivor frame, broadcast probes on retry rounds, CERTAIN-radius "
-        "single retry (r5: survivors with >= k observed candidates carry a "
-        "provably sufficient retry radius; closing count skipped when all "
-        "survivors are certain). Marginal efficiency from the size-sweep "
-        "linear fit, same methodology as north_table_packed. Points are "
-        "settle-gated on instantaneous /proc/stat busy and min-merged "
-        "across alternating passes; per-point busy-at-start stamped."
+        "survivor frame (per-invocation plan-salted), broadcast probes on "
+        "retry rounds, and the r5 BOUND PRE-FILTER (candidates beyond the "
+        "per-cell resolve bound dropped before the rank sort — provably "
+        "identical results, ~2.5x off the dominant stage). Marginal "
+        "efficiency from the size-sweep linear fit, same methodology as "
+        "north_table_packed. Points are settle-gated on instantaneous "
+        "/proc/stat busy and min-merged across alternating passes; "
+        "per-point busy-at-start stamped. See the ceiling_control and "
+        "round_decomposition fields for the honest read of this number."
     )
 
     doc["knn"] = entry

@@ -290,6 +290,44 @@ def job_knn(spark, n: int) -> int:
     return n
 
 
+def job_rank_shuffle(spark, n: int) -> int:
+    """CEILING CONTROL for the kNN round-1 shape: the minimal Spark job
+    with the same skeleton — a shuffle equi-join whose output feeds a
+    clustered-distribution rank window (local sort, no extra Exchange)
+    then a scalar agg — and NONE of the kNN logic. `n` is sized so the
+    join output matches kNN's candidate volume (~10 rows per probe ->
+    join output = 10 * n rows, e.g. n=4M -> 40M ranked rows, the same as
+    job_knn at 4M points post-bound-filter). Its N-vs-4N efficiency is
+    what the HOST gives this shuffle+sort shape (loopback fetch, memory
+    bus, one NVMe); the knn scaling row cites it as the ceiling, exactly
+    like the membus/s2-kernel probes for the north rows."""
+    m = max(n // 80, 1)  # cells; 80 candidates per cell
+    cand = spark.range(0, n, 1, 64).select(
+        (F.pmod(F.xxhash64("id"), F.lit(m))).alias("_cell"),
+        F.col("id").alias("_pid"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(100_000)).cast("double") / 1e5).alias("_d1"),
+    )
+    qry = spark.range(0, n // 8, 1, 64).select(
+        (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(m))).alias("_cell"),
+        F.col("id").alias("_qid"),
+        (F.pmod(F.xxhash64("id", F.lit(11)), F.lit(100_000)).cast("double") / 1e5).alias("_d2"),
+    )
+    joined = qry.join(cand.hint("shuffle_hash"), "_cell").withColumn(
+        "dist", (F.col("_d1") - F.col("_d2")) * (F.col("_d1") - F.col("_d2"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_cell", "_qid").orderBy("dist", "_pid")
+    top = joined.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    agg = top.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dist").alias("s"),
+        F.sum(F.pmod(F.col("_pid"), F.lit(997))).alias("c"),
+    )
+    agg.write.format("noop").mode("overwrite").save()
+    return n
+
+
 def _set_tree_affinity(cpus: set) -> None:
     """Pin THIS process and every live descendant (driver JVM, executor
     JVMs, pyspark daemons) to `cpus`. Needed because pyspark reuses the
@@ -482,6 +520,8 @@ def main() -> None:
         ("north_table_packed", job_north_table_packed, args.images, 8192),
         # r4 directive #6: kNN at material size with a hot-spot cluster
         ("knn", job_knn, args.knn, 32768),
+        # host ceiling for the kNN round-1 shuffle+rank shape (no kNN code)
+        ("rank_shuffle", job_rank_shuffle, args.knn, 32768),
     ):
         if name not in wanted:
             continue

@@ -46,7 +46,8 @@ def main() -> None:
         "spark.executor.cores": str(args.exec_cores),
         "spark.executorEnv.PYTHONPATH": REPO,
         "spark.executor.extraJavaOptions": f"-XX:ActiveProcessorCount={args.exec_cores}",
-        "spark.driver.extraJavaOptions": "-XX:ActiveProcessorCount=4",
+        "spark.driver.extraJavaOptions":
+            "-XX:ActiveProcessorCount=4 -Xlog:gc*:file=/tmp/diag_driver_gc.log:time",
     }
     spark = get_spark(
         f"diag-knn-{cores}", master=f"local-cluster[{args.execs},{args.exec_cores},8192]",
