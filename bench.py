@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "las_ground_stats",
     "laz_ground_stats",
     "ann_ivf_top3",
+    "ann_lsh_top3",
     "simhash_pairs",
     "text_quality",
     "text_fingerprint",

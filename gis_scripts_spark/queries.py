@@ -419,10 +419,34 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     provably the exact cosine top-k — so the approximate-index machinery
     (train, assign, probe, per-list join, scalar re-rank) runs for real
     while DuckDB can still oracle the answer; the recall-at-nprobe<lists
-    contract is pytest-gated on clustered data (tests/test_ann_ivf.py)."""
+    contract is pytest-gated on clustered data (tests/test_ann_ivf.py).
+
+    n_lists=32: a probed list is the parallelism unit of the search join
+    (one inverted list = one join key), so n_lists must be >= the core
+    count just as it is in any real IVF deployment (n_lists ~ sqrt(n) >>
+    cores). The first bench capture used n_lists=8 on 32 cores and the
+    whole exhaustive re-rank serialized onto 8 tasks (43.8 s at sf0.1);
+    32 lists puts it back on all cores. Exactness is UNAFFECTED — with
+    exhaustive probing the codebook only partitions work."""
     emb = _pq(spark, sf_dir, "embeddings")
     return ann_ivf.ivf_topk(
-        emb, k=3, id_col="vec_id", vec="embedding", n_lists=8, nprobe=8, n_iters=4
+        emb, k=3, id_col="vec_id", vec="embedding", n_lists=32, nprobe=32,
+        n_iters=2,
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN end-to-end (rows-only: the result is approximate
+    by design — recall>=0.95 vs brute force is the pytest contract,
+    tests/test_similarity_more.py). Exercises the r4-directive-#2 scale
+    shape under the driver: ids-only candidate stage (one Arrow pass for
+    all n_tables signatures, posexplode, 3-column self-join, groupBy
+    report-once), vectors re-joined ONCE for the exact cosine re-rank.
+    Deterministic: seeded hyperplanes, (sim desc, id) tie-break."""
+    emb = _pq(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(
+        emb, k=3, id_col="vec_id", vec="embedding", dim=64,
+        n_planes=10, n_tables=6,
     )
 
 
@@ -1205,6 +1229,7 @@ QUERIES: dict = {
     "text_stats": q_text_stats,
     "embed_cosine_top3": q_embed_topk,
     "ann_ivf_top3": q_ann_ivf_topk,
+    "ann_lsh_top3": q_ann_lsh_topk,
     "ngram_jaccard_pairs": q_ngram_jaccard,
     "minhash_lsh_pairs": q_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
