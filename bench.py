@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "zonal_agreement",
     "topk_events_per_user",
     "zonal_event_stats",
+    "hex_zonal_stats",
     "mosaic_last_wins",
     "distinct_classes",
     "coverage_join",

@@ -22,6 +22,7 @@ from pyspark.sql import Window
 
 from gis_scripts_spark.geom import wkb as wkb_mod
 from gis_scripts_spark.index import cells as cells_mod
+from gis_scripts_spark.index import hex7 as hex7_mod
 from gis_scripts_spark.index import tiles as tiles_mod
 from gis_scripts_spark.operators import (
     dedup,
@@ -32,6 +33,7 @@ from gis_scripts_spark.operators import (
     pip_join,
     similarity,
     text,
+    tile_assign,
 )
 
 # ---- shared derivation constants (mirrored literally in the oracle SQL) ----
@@ -803,6 +805,48 @@ FROM counts
 """
 
 
+_HEX_ZONAL_RES = 1  # odd resolution => Class III grid, so the oracle also
+#                     exercises the aperture-7 rotation path
+
+
+def q_hex_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical hex-cell zonal rollup on the hex7 index (the from-scratch
+    H3-structure aperture-7 icosahedral index, `index/hex7.py` — the north
+    rule's "encoded to H3 (and S2) cells"): events are encoded to hex cells
+    via ONE Arrow pandas UDF (no per-row Python), then a map-side-combinable
+    groupBy rolls up count / mean / distinct users per cell. The DuckDB
+    oracle recomputes the ids bit-for-bit through hex7.sql_cell_ctes."""
+    ev = derived_lonlat(_pq(spark, sf_dir, "events"), "event_id")
+    hexed = ev.withColumn(
+        "cell",
+        tile_assign.hex7_cell_udf(_HEX_ZONAL_RES)(F.col("lon"), F.col("lat")),
+    )
+    return hexed.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 6).alias("mean_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# lon/lat with explicit DOUBLE casts at each step: the hex encode feeds
+# these into trig, where DuckDB's exact-DECIMAL literal arithmetic could
+# drift 1 ulp from Spark's double math and flip a cell at a lattice
+# boundary; per-op casts reproduce derived_lonlat() bit-for-bit.
+SQL_HEX_ZONAL = f"""
+WITH pts AS (SELECT event_id, user_id, value,
+                    CAST(-180.0 AS DOUBLE)
+                      + CAST((event_id * {LON_MULT}) % {LON_MOD} AS DOUBLE)
+                        / CAST(1000.0 AS DOUBLE) AS lon,
+                    CAST(-60.0 AS DOUBLE)
+                      + CAST((event_id * {LAT_MULT}) % {LAT_MOD} AS DOUBLE)
+                        / CAST(1000.0 AS DOUBLE) AS lat FROM events),
+{hex7_mod.sql_cell_ctes('pts', 'event_id, user_id, value', _HEX_ZONAL_RES)}
+SELECT cell, COUNT(*) AS n_events, ROUND(AVG(value), 6) AS mean_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM _hexed GROUP BY cell
+"""
+
+
 def q_mosaic_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mosaic overlap resolution (§2.7): per grid cell the LATEST event
     wins (ts desc, event_id desc tie-break) — the deterministic last-wins
@@ -1241,6 +1285,7 @@ QUERIES: dict = {
     "zonal_agreement": q_zonal_agreement,
     "topk_events_per_user": q_topk_events_per_user,
     "zonal_event_stats": q_zonal_event_stats,
+    "hex_zonal_stats": q_hex_zonal,
     "mosaic_last_wins": q_mosaic_last_wins,
     "distinct_classes": q_distinct_classes,
     "coverage_join": q_coverage_join,
@@ -1285,6 +1330,7 @@ ORACLES: dict[str, str] = {
     # tests/ (test_mosaic.py, test_proj_warp.py, test_raster_ops.py).
     "topk_events_per_user": SQL_TOPK_EVENTS,
     "zonal_event_stats": SQL_ZONAL_EVENTS,
+    "hex_zonal_stats": SQL_HEX_ZONAL,
     "mosaic_last_wins": SQL_MOSAIC,
     "distinct_classes": SQL_DISTINCT_CLASSES,
     "coverage_join": SQL_COVERAGE,
