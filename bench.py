@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "coeff_variation",
     "balanced_sample",
     "image_pipeline_zonal",
+    "phash_neardup_pairs",
     "image_histogram_match",
     "mosaic_composite",
     "reproject_utm",

@@ -313,6 +313,57 @@ def simhash_pairs(
     return pairs.select("id_a", "id_b", hamming).filter(F.col("hamming") <= max_hamming)
 
 
+def hamming_neardup_pairs(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Banded hamming-distance self-join on any int64 hash column
+    (perceptual hashes, simhashes, fingerprints).
+
+    The 64 bits are split into (max_hamming + 1) bands; two hashes within
+    `max_hamming` must agree exactly on at least one band (pigeonhole), so
+    the band equi-join is a COMPLETE candidate generator. Scale shape is
+    the engine's standard: ids+hash-only band join (no payload columns in
+    the Exchange), groupBy report-once (map-side combinable, no window
+    sort), then one whole-stage-codegen bit_count refine.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if not 0 <= max_hamming <= 16:
+        raise ValueError("max_hamming must be in [0, 16]")
+    n_bands = max_hamming + 1
+    base_w, extra = divmod(64, n_bands)
+    bands = []
+    shift = 0
+    for b in range(n_bands):
+        width = base_w + (1 if b < extra else 0)
+        bands.append((b, shift, (1 << width) - 1))
+        shift += width
+    base = df.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("b"),
+                F.shiftrightunsigned("_h", s).bitwiseAND(F.lit(m)).alias("bv"),
+            )
+            for b, s, m in bands
+        ]
+    )
+    blocked = base.withColumn("_b", F.explode(keys)).select(
+        "_id", "_h", F.col("_b.b").alias("b"), F.col("_b.bv").alias("bv")
+    )
+    left = blocked.select(F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "b", "bv")
+    right = blocked.select(F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), "b", "bv")
+    pairs = left.join(right, ["b", "bv"]).filter(F.col("id_a") < F.col("id_b"))
+    pairs = pairs.groupBy("id_a", "id_b").agg(
+        F.first("_ha").alias("_ha"), F.first("_hb").alias("_hb")
+    )
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming")
+    return pairs.select("id_a", "id_b", hamming).filter(F.col("hamming") <= max_hamming)
+
+
 # ----------------------------------------------------- exact word jaccard
 def word_jaccard_pairs(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", threshold: float = 0.5

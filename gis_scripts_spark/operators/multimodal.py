@@ -141,6 +141,24 @@ def image_features(df: DataFrame) -> DataFrame:
     return df.select("image_id", "bytes", "fmt").mapInPandas(run, IMAGE_FEATURES_SCHEMA)
 
 
+def phash_neardup_pairs(df: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """Image near-duplicate pairs by perceptual hash: decode the `bytes`
+    column, pHash each image (one Arrow mapInPandas pass, image_features),
+    then the banded hamming self-join from operators/dedup.py — the
+    pigeonhole blocking means only (hash, id) scalars enter the candidate
+    Exchange, never the image bytes. The image twin of the text simhash
+    dedup stage; catches re-encoded / brightness-shifted re-posts.
+
+    Returns (id_a, id_b, hamming), id_a < id_b.
+    """
+    from gis_scripts_spark.operators import dedup
+
+    hashes = image_features(df).select("image_id", "phash")
+    return dedup.hamming_neardup_pairs(
+        hashes, hash_col="phash", id_col="image_id", max_hamming=max_hamming
+    )
+
+
 # ---------------------------------------------------------------- audio ops
 AUDIO_FEATURES_SCHEMA = StructType(
     [

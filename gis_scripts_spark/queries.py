@@ -1038,6 +1038,24 @@ def q_image_pipeline_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual hash (rows-only: the
+    pHash comes from real decoded image bytes, which SQL cannot express;
+    pair-set exactness vs a numpy all-pairs oracle is pytest's job,
+    tests/test_multimodal.py): deterministic input_hint-schema images with
+    planted re-encoded/brightness-shifted near-dups every 5th row, one
+    Arrow decode+pHash pass, then the pigeonhole-banded hamming self-join
+    (operators/dedup.py) — only (id, hash) scalars in the Exchanges."""
+    from gis_scripts_spark.operators import multimodal
+    from gis_scripts_spark.sources import synth
+
+    n = 600 if "0.01" in sf_dir else 200
+    images = synth.images_df(
+        spark, n, seed=42, dup_every=5, fmts=("png", "qnt", "jpeg")
+    )
+    return multimodal.phash_neardup_pairs(images, max_hamming=10)
+
+
 def q_image_histogram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global histogram matching on deliberately-overlapping synthetic
     images (rows-only): returns the solved per-image gain/offset params —
@@ -1295,6 +1313,7 @@ QUERIES: dict = {
     # end-to-end image engine (rows-only: bytes pipelines have no SQL
     # equivalent; exactness proven by tests/ numpy oracles)
     "image_pipeline_zonal": q_image_pipeline_zonal,
+    "phash_neardup_pairs": q_phash_neardup,
     "image_histogram_match": q_image_histogram_match,
     "mosaic_composite": q_mosaic_composite,
     "reproject_utm": q_reproject_utm,

@@ -58,7 +58,8 @@ def _seed_for(image_id: str) -> int:
 
 
 def make_image_row(
-    i: int, seed: int = 42, sizes: tuple = _SIZES, fmts: tuple = ("png", "qnt")
+    i: int, seed: int = 42, sizes: tuple = _SIZES, fmts: tuple = ("png", "qnt"),
+    dup_every: int | None = None,
 ) -> dict:
     """One deterministic image row, keyed only by (i, seed). `sizes`
     selects the pixel-dimension profile (default 32/64/128 mixed); the
@@ -67,7 +68,35 @@ def make_image_row(
     way, so the profile does not enter the timing. `fmts` selects the
     codec mix — default (png, qnt) keeps historical fixtures bit-stable;
     pass ("png", "qnt", "jpeg") for the full input_hint mix with real
-    baseline-JPEG bytes (raster/jpeg.py)."""
+    baseline-JPEG bytes (raster/jpeg.py).
+
+    `dup_every=k` makes every row with i % k == 1 (i >= 1) a NEAR
+    DUPLICATE of row i-1: same scene pixels with a small deterministic
+    gain/offset perturbation, re-encoded (possibly in a different codec)
+    — the web-crawl re-post/re-encode case a perceptual-hash dedup stage
+    must catch. Keyed only by (i, seed), so still bit-identical at any
+    parallelism. Default None keeps historical fixtures bit-stable."""
+    if dup_every is not None and i >= 1 and i % dup_every == 1:
+        src = make_image_row(i - 1, seed, sizes, fmts)
+        img = codec.decode(src["bytes"], src["fmt"])
+        img = np.clip(np.rint(img.astype(np.float64) * 1.02 + 2.0), 0, 255).astype(np.uint8)
+        rng = np.random.default_rng(_seed_for(f"{seed}:dup:img_{i:08d}"))
+        fmt = str(fmts[int(rng.random() * len(fmts))]) if len(fmts) > 1 else str(fmts[0])
+        buf = codec.encode(img, fmt)
+        decoded = codec.decode(buf, fmt)
+        return {
+            "image_id": f"img_{i:08d}",
+            "bytes": buf,
+            "w": src["w"],
+            "h": src["h"],
+            "fmt": fmt,
+            "caption": f"near duplicate of img_{i - 1:08d}",
+            "phash": codec.phash64(decoded),
+            "lon": src["lon"],
+            "lat": src["lat"],
+            "nodata": -9999.0,
+            "bands": src["bands"],
+        }
     image_id = f"img_{i:08d}"
     rng = np.random.default_rng(_seed_for(f"{seed}:{image_id}"))
     w = int(sizes[int(rng.integers(0, len(sizes)))])
@@ -112,12 +141,13 @@ def make_image_row(
 def images_df(
     spark: SparkSession, n: int, seed: int = 42, parts: int | None = None,
     sizes: tuple = _SIZES, fmts: tuple = ("png", "qnt"),
+    dup_every: int | None = None,
 ) -> DataFrame:
     """Distributed deterministic image table of n rows."""
 
     def gen(batches):
         for pdf in batches:
-            rows = [make_image_row(int(i), seed, sizes, fmts) for i in pdf["id"]]
+            rows = [make_image_row(int(i), seed, sizes, fmts, dup_every) for i in pdf["id"]]
             out = pd.DataFrame(rows)
             out["bytes"] = out["bytes"].map(bytearray)
             yield out

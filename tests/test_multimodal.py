@@ -59,3 +59,76 @@ def test_resize_and_features(spark):
     lossless = df.filter(F.col("fmt") == "png").select("image_id").toPandas()["image_id"]
     for _, r in feats[feats["image_id"].isin(set(lossless))].iterrows():
         assert r["phash"] == tbl.loc[r["image_id"], "phash"]
+
+
+def test_phash_neardup_pairs_bruteforce(spark):
+    """Banded hamming join == numpy all-pairs oracle, and every planted
+    near-dup (re-encoded + brightness-shifted) is caught."""
+    df = synth.images_df(spark, 100, parts=4, dup_every=5, fmts=("png", "qnt", "jpeg"))
+    got = mm.phash_neardup_pairs(df, max_hamming=10).toPandas()
+    feats = mm.image_features(df).select("image_id", "phash").toPandas()
+    # stored phash (synth computes it from the decoded bytes) == recomputed
+    stored = df.select("image_id", "phash").toPandas().set_index("image_id")["phash"]
+    for _, r in feats.iterrows():
+        assert r["phash"] == stored[r["image_id"]]
+    ids = feats["image_id"].tolist()
+    h = feats["phash"].tolist()
+    want = set()
+    for a in range(len(ids)):
+        for b in range(a + 1, len(ids)):
+            d = bin((h[a] ^ h[b]) & ((1 << 64) - 1)).count("1")
+            if d <= 10:
+                pa, pb = sorted((ids[a], ids[b]))
+                want.add((pa, pb, d))
+    got_set = set(map(tuple, got[["id_a", "id_b", "hamming"]].itertuples(index=False)))
+    assert got_set == want
+    planted = {(f"img_{i-1:08d}", f"img_{i:08d}") for i in range(1, 100) if i % 5 == 1}
+    assert planted <= {(a, b) for a, b, _ in got_set}
+
+
+def test_hamming_banding_pigeonhole_worst_case(spark):
+    """Adversarial completeness: pairs at EXACTLY max_hamming distance with
+    the differing bits spread one-per-band (the pigeonhole worst case) are
+    still found — one band must remain clean."""
+    from gis_scripts_spark.operators import dedup
+
+    max_h = 6  # 7 bands: widths 10,9,9,9,9,9,9 starting at bit 0
+    starts = [0, 10, 19, 28, 37, 46, 55]
+    base = 0x5A5A_1234_ABCD_0F0F
+    rows = [("x0", base)]
+    flip = 0
+    for s in starts[:max_h]:  # flip one bit in each of the first 6 bands
+        flip |= 1 << s
+    h2 = (base ^ flip)
+    h2 = h2 - (1 << 64) if h2 >= (1 << 63) else h2
+    b0 = base - (1 << 64) if base >= (1 << 63) else base
+    rows = [("x0", b0), ("x1", h2)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "h"]))
+    out = dedup.hamming_neardup_pairs(df, "h", "doc_id", max_hamming=max_h).toPandas()
+    assert len(out) == 1 and int(out["hamming"][0]) == max_h
+    # and one past the bound is rejected even when a band collides
+    h3 = b0 ^ (flip | (1 << starts[6]))  # 7 bits, one per band: NO clean band
+    h3 = h3 - (1 << 64) if h3 >= (1 << 63) else h3
+    df2 = spark.createDataFrame(pd.DataFrame([("y0", b0), ("y1", h3)], columns=["doc_id", "h"]))
+    out2 = dedup.hamming_neardup_pairs(df2, "h", "doc_id", max_hamming=max_h).toPandas()
+    assert len(out2) == 0  # correctly absent: 7 flips > max_hamming
+
+
+def test_phash_pairs_bytes_never_in_exchange(spark):
+    """Plan gate (mirror of the WKB/embedding gates): image bytes must not
+    ride any Exchange in the phash near-dup plan — only (id, hash) scalars
+    shuffle."""
+    import contextlib
+    import io
+    import re
+
+    df = synth.images_df(spark, 20, parts=2, dup_every=5)
+    out = mm.phash_neardup_pairs(df, max_hamming=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    blocks = re.findall(r"\(\d+\) (?:Broadcast)?Exchange[^\n]*\nInput[^\n]*", plan)
+    assert blocks, "expected at least one Exchange in the candidate join plan"
+    for block in blocks:
+        assert "bytes" not in block, block
