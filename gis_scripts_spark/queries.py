@@ -681,21 +681,25 @@ SQL_DEDUP_CLUSTERS = _sql_dedup_clusters()
 
 
 def q_las_ground_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LAS point-cloud scan end-to-end (S5; rows-only — DuckDB cannot read
-    .las): a deterministic two-swath LAS 1.2 fixture is written once via
-    the engine's own sink (las.write_las), scanned distributed, and rolled
-    up per classification — the create_dem_tiles_from_array.py:224-241
-    ground-filter flow. Parse exactness vs an independent fixture writer
-    is proven in tests/test_las.py."""
+    """LAS point-cloud scan end-to-end under a FULL DuckDB oracle: a
+    deterministic two-swath LAS 1.2 fixture is written once via the
+    engine's own sink (las.write_las), scanned distributed, and rolled up
+    per classification — the create_dem_tiles_from_array.py:224-241
+    ground-filter flow. The fixture points are pure integer mixing ON the
+    LAS quantization grid (scale 0.001), so DuckDB re-derives the exact
+    post-roundtrip coordinates WITHOUT reading .las — the oracle checks
+    the whole write->parse->descale->rollup chain, not just the rollup.
+    Byte-level parse exactness vs an independent fixture writer is
+    additionally proven in tests/test_las.py."""
     import os
 
     from gis_scripts_spark.sources import las as las_mod
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    d = f"/tmp/gss_las_{tag}"
+    d = f"/tmp/gss_lasq_{tag}"
     if not os.path.exists(os.path.join(d, "swath_1.las")):
         os.makedirs(d, exist_ok=True)
-        xx, yy, zz, cls = _las_fixture_arrays(tag)
+        xx, yy, zz, cls = _las_fixture_arrays(_las_fixture_n(spark, sf_dir))
         n = len(xx)
         import uuid as _uuid
 
@@ -708,13 +712,23 @@ def q_las_ground_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _las_class_rollup(pts)
 
 
-def _las_fixture_arrays(tag: str):
-    rng = np.random.default_rng(31)
-    n = 20000 if "0.1" in tag else 4000
-    xx = rng.uniform(0.0, 2.0, n)
-    yy = rng.uniform(0.0, 2.0, n)
-    zz = rng.uniform(0.0, 120.0, n)
-    cls = np.where(rng.uniform(size=n) < 0.55, 2, rng.integers(1, 7, n))
+def _las_fixture_n(spark: SparkSession, sf_dir: str) -> int:
+    """Fixture size derived from the events row count (parquet-footer
+    count, no data scan) so the SQL oracle can derive the SAME n from the
+    registered events view at any scale factor."""
+    return 2 * _pq(spark, sf_dir, "events").count() // 5
+
+
+def _las_fixture_arrays(n: int):
+    """SQL-re-derivable point cloud: integer mixing (same style as
+    derived_lonlat) lands every coordinate exactly on the LAS 0.001
+    quantization grid, so writer round(), reader descale and the DuckDB
+    re-derivation in SQL_LAS_STATS agree bit-for-bit."""
+    i = np.arange(n, dtype=np.int64)
+    xx = ((i * 2654435761) % 2000) * 0.001
+    yy = ((i * 97643) % 2000) * 0.001
+    zz = ((i * 15485863) % 120000) * 0.001
+    cls = np.where((i * 32452843) % 100 < 55, 2, 1 + (i * 49979687) % 6)
     return xx, yy, zz, cls
 
 
@@ -728,23 +742,25 @@ def _las_class_rollup(pts: DataFrame) -> DataFrame:
 
 
 def q_laz_ground_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COMPRESSED point-cloud scan end-to-end (S5+, rows-only — DuckDB
-    cannot read .laz): the las_ground_stats fixture data written as
-    chunked-arithmetic-coded .laz through the engine's own sink
-    (laz.write_laz), decoded DISTRIBUTED one-task-per-chunk (read_laz),
-    identical per-class rollup — the reference's USGS .laz landing flow
-    (point_cloud/download_usgs_lidar.py:23-46). Codec exactness
-    (roundtrip bit-identity, chunk independence) is proven in
-    tests/test_laz.py; the rollup equals las_ground_stats row-for-row."""
+    """COMPRESSED point-cloud scan end-to-end under a FULL DuckDB oracle:
+    the las_ground_stats fixture data written as chunked-arithmetic-coded
+    .laz through the engine's own sink (laz.write_laz), decoded
+    DISTRIBUTED one-task-per-chunk (read_laz), identical per-class rollup
+    — the reference's USGS .laz landing flow
+    (point_cloud/download_usgs_lidar.py:23-46). The oracle re-derives the
+    quantization-grid fixture points in SQL (see q_las_ground_stats), so
+    it gates the arithmetic-coder decode chain end-to-end; codec
+    bit-exactness and chunk independence are additionally proven in
+    tests/test_laz.py."""
     import os
 
     from gis_scripts_spark.sources import laz as laz_mod
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    d = f"/tmp/gss_laz_{tag}"
+    d = f"/tmp/gss_lazq_{tag}"
     if not os.path.exists(os.path.join(d, "swath_1.laz")):
         os.makedirs(d, exist_ok=True)
-        xx, yy, zz, cls = _las_fixture_arrays(tag)
+        xx, yy, zz, cls = _las_fixture_arrays(_las_fixture_n(spark, sf_dir))
         n = len(xx)
         import uuid as _uuid
 
@@ -757,6 +773,30 @@ def q_laz_ground_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.replace(tmp, os.path.join(d, f"swath_{part}.laz"))  # atomic
     pts = laz_mod.read_laz(spark, d + "/*.laz")
     return _las_class_rollup(pts)
+
+
+# Re-derives the quantization-grid fixture points (see _las_fixture_arrays)
+# and the reader's exact descale op (int * 0.001 + 0.0) in SQL; fixture size
+# comes from the events view so the oracle scales with the gate's sf. The
+# CAST('0.001' AS DOUBLE) keeps DuckDB in IEEE doubles (bare literals are
+# DECIMAL — exact arithmetic that can drift 1 ulp from the engine's floats).
+SQL_LAS_STATS = """
+WITH idx AS (SELECT event_id AS i FROM events
+             WHERE event_id < (SELECT 2 * COUNT(*) // 5 FROM events)),
+pts AS (SELECT
+  CAST((i * 2654435761) % 2000 AS DOUBLE) * CAST('0.001' AS DOUBLE)
+    + CAST('0.0' AS DOUBLE) AS x,
+  CAST((i * 97643) % 2000 AS DOUBLE) * CAST('0.001' AS DOUBLE)
+    + CAST('0.0' AS DOUBLE) AS y,
+  CAST((i * 15485863) % 120000 AS DOUBLE) * CAST('0.001' AS DOUBLE)
+    + CAST('0.0' AS DOUBLE) AS z,
+  CAST(CASE WHEN (i * 32452843) % 100 < 55 THEN 2
+            ELSE 1 + (i * 49979687) % 6 END AS INTEGER) AS classification
+FROM idx)
+SELECT classification, COUNT(*) AS n_points, ROUND(AVG(z), 6) AS mean_z,
+       ROUND(MIN(x), 6) AS min_x, ROUND(MAX(y), 6) AS max_y
+FROM pts GROUP BY classification
+"""
 
 
 def q_topk_events_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1342,6 +1382,11 @@ ORACLES: dict[str, str] = {
     "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "zonal_agreement": SQL_ZONAL_AGREEMENT,
+    # las/laz: the SQL re-derives the quantization-grid fixture points, so
+    # the .las parse and the .laz arithmetic-coder decode run under the
+    # full value-hash gate (byte-level codec tests remain in tests/)
+    "las_ground_stats": SQL_LAS_STATS,
+    "laz_ground_stats": SQL_LAS_STATS,
     # every text/dedup query is now fully oracled; the blake2b 128-perm
     # minhash variant remains as an operator with its recall pytest.
     # mosaic_composite / seamless_mosaic / reproject_utm / image_*: bytes
