@@ -85,6 +85,26 @@ def job_points_s2(spark, n: int) -> int:
     return n
 
 
+def job_hex(spark, n: int) -> int:
+    """hex7 (the from-scratch H3-structure aperture-7 index) encode forced
+    on EVERY row via the Arrow pandas UDF — the hex twin of points_s2_udf,
+    measuring the icosahedral gnomonic + hex-rounding kernel at material
+    size. Checksum agg on coarse keys keeps the shuffle negligible."""
+    from gis_scripts_spark.operators import tile_assign
+
+    pts = synth_points(spark, n)
+    hexed = pts.withColumn(
+        "hex_cell", tile_assign.hex7_cell_udf(9)(F.col("lon"), F.col("lat"))
+    )
+    agg = hexed.groupBy(F.pmod(F.col("hex_cell"), F.lit(64))).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("hex_cell").alias("hex_min"),
+        F.sum(F.pmod(F.col("hex_cell"), F.lit(997))).alias("hex_sum"),
+    )
+    agg.write.format("noop").mode("overwrite").save()
+    return n
+
+
 IMG_PARTS = 64  # overridden by --img-parts; ~1-2s tasks pack best
 
 
@@ -501,6 +521,7 @@ def main() -> None:
     for name, fn, n, batch in (
         ("points", job_points, args.points, 32768),
         ("points_s2_udf", job_points_s2, min(args.points, 60_000_000), 32768),
+        ("hex_udf", job_hex, min(args.points, 60_000_000), 32768),
         ("images", job_images, args.images, 8192),
         ("north_full", job_north, args.images, 8192),
         # staged decomposition of north_full (cumulative prefixes — the
