@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "topk_events_per_user",
     "zonal_event_stats",
     "hex_zonal_stats",
+    "utm_forward_coords",
+    "rpc_image_coords",
     "mosaic_last_wins",
     "distinct_classes",
     "coverage_join",

@@ -29,51 +29,130 @@ EP2 = E2 / (1.0 - E2)  # second eccentricity squared
 K0_UTM = 0.9996
 
 
+# Meridian-arc series constants (Snyder eq. 3-21), precomputed as module
+# doubles so the SQL mirror (sql_utm_forward_ctes) embeds the identical
+# values the kernel multiplies with.
+DEG2RAD = np.pi / 180.0
+_MA_C0 = 1 - E2 / 4 - 3 * (E2 * E2) / 64 - 5 * (E2 * E2 * E2) / 256
+_MA_C2 = 3 * E2 / 8 + 3 * (E2 * E2) / 32 + 45 * (E2 * E2 * E2) / 1024
+_MA_C4 = 15 * (E2 * E2) / 256 + 45 * (E2 * E2 * E2) / 1024
+_MA_C6 = 35 * (E2 * E2 * E2) / 3072
+
+
 def _meridian_arc(lat: np.ndarray) -> np.ndarray:
     """Meridian arc length from equator (Snyder eq. 3-21)."""
-    e2, e4, e6 = E2, E2 * E2, E2 * E2 * E2
     return A * (
-        (1 - e2 / 4 - 3 * e4 / 64 - 5 * e6 / 256) * lat
-        - (3 * e2 / 8 + 3 * e4 / 32 + 45 * e6 / 1024) * np.sin(2 * lat)
-        + (15 * e4 / 256 + 45 * e6 / 1024) * np.sin(4 * lat)
-        - (35 * e6 / 3072) * np.sin(6 * lat)
+        _MA_C0 * lat - _MA_C2 * np.sin(2.0 * lat)
+        + _MA_C4 * np.sin(4.0 * lat) - _MA_C6 * np.sin(6.0 * lat)
     )
 
 
-_M_EQ = None
-
-
-def utm_forward(lon, lat, zone: int, north: bool = True):
+def utm_forward(lon, lat, zone, north: bool = True):
     """(lon, lat) degrees -> UTM (easting, northing) meters, zone 1..60.
+    ``zone`` may be a scalar or a per-point array (vectorized central
+    meridian — one kernel pass assigns a whole table across all zones).
 
     Snyder eq. 8-9..8-15. Accuracy ~mm within the zone (|dlon| <= 3 deg),
-    < 1 m out to |dlon| ~ 6 deg."""
+    < 1 m out to |dlon| ~ 6 deg.
+
+    Every step is elementary +,-,*,/ plus sin/cos/sqrt in a FIXED
+    evaluation order so ``sql_utm_forward_ctes`` reproduces the result
+    bit-for-bit in DuckDB (the full value-hash oracle for the
+    ``utm_forward_coords`` driver query): tan is computed as sin/cos and
+    integer powers as explicit multiply chains, because DuckDB's TAN and
+    POW differ from numpy's at the ulp level on this host while
+    SIN/COS/SQRT are bit-identical (measured, tests/test_proj_oracle.py).
+    """
     lon = np.asarray(lon, np.float64)
     lat = np.asarray(lat, np.float64)
-    lam = np.radians(lon)
-    phi = np.radians(lat)
-    lam0 = np.radians(zone * 6.0 - 183.0)
+    lam = lon * DEG2RAD
+    phi = lat * DEG2RAD
+    lam0 = (np.asarray(zone, np.float64) * 6.0 - 183.0) * DEG2RAD
 
     sphi, cphi = np.sin(phi), np.cos(phi)
-    n_rad = A / np.sqrt(1 - E2 * sphi * sphi)  # prime vertical radius
-    t = np.tan(phi) ** 2
+    n_rad = A / np.sqrt(1.0 - E2 * sphi * sphi)  # prime vertical radius
+    tphi = sphi / cphi  # tan(phi) in the bit-reproducible form
+    t = tphi * tphi
     c = EP2 * cphi * cphi
     a_ = (lam - lam0) * cphi
+    a2 = a_ * a_
+    a3 = a2 * a_
+    a4 = a2 * a2
+    a5 = a4 * a_
+    a6 = a4 * a2
     m = _meridian_arc(phi)
 
     easting = K0_UTM * n_rad * (
-        a_ + (1 - t + c) * a_**3 / 6
-        + (5 - 18 * t + t * t + 72 * c - 58 * EP2) * a_**5 / 120
+        a_ + (1.0 - t + c) * a3 / 6.0
+        + (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * EP2) * a5 / 120.0
     ) + 500000.0
     northing = K0_UTM * (
-        m + n_rad * np.tan(phi) * (
-            a_**2 / 2 + (5 - t + 9 * c + 4 * c * c) * a_**4 / 24
-            + (61 - 58 * t + t * t + 600 * c - 330 * EP2) * a_**6 / 720
+        m + n_rad * tphi * (
+            a2 / 2.0 + (5.0 - t + 9.0 * c + 4.0 * c * c) * a4 / 24.0
+            + (61.0 - 58.0 * t + t * t + 600.0 * c - 330.0 * EP2) * a6 / 720.0
         )
     )
     if not north:
         northing = northing + 10000000.0
     return easting, northing
+
+
+def _dlit(x: float) -> str:
+    """A double literal for DuckDB SQL. Bare decimal literals are DECIMAL
+    in DuckDB, and CAST(decimal AS DOUBLE) routes through the DECIMAL
+    representation (two roundings — measured 1-ulp drift on long repr
+    constants); CAST from a STRING uses strtod, which round-trips Python's
+    repr bit-exactly. Same discipline as hex7.sql_cell_ctes."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def sql_utm_forward_ctes(src: str, carry: str, zone, north: bool = True,
+                         lon_col: str = "lon", lat_col: str = "lat") -> str:
+    """DuckDB CTE chain reproducing ``utm_forward`` BIT-FOR-BIT: returns
+    CTE definitions (no leading WITH) ending in ``_utm`` which exposes
+    ``{carry}, easting, northing``. Each SQL expression mirrors the
+    kernel's evaluation order exactly (left-associative, tan as sphi/cphi,
+    powers as the same multiply chains); sin/cos/sqrt/+,-,*,/ are
+    bit-identical between numpy and DuckDB on this host, so the oracle is
+    an exact-equality gate, not a tolerance check.
+
+    ``zone`` is an int for a fixed zone, or a SQL expression over ``src``
+    columns (the per-row-zone vectorized form of the kernel)."""
+    d2r = _dlit(DEG2RAD)
+    if isinstance(zone, str):
+        lam0_sql = f"(CAST({zone} AS DOUBLE) * {_dlit(6.0)} - {_dlit(183.0)}) * {d2r}"
+    else:
+        lam0_sql = _dlit((np.float64(zone) * 6.0 - 183.0) * DEG2RAD)
+    off = "" if north else f" + {_dlit(10000000.0)}"
+    return f"""
+_u1 AS (SELECT {carry}, {lon_col} * {d2r} AS lam, {lat_col} * {d2r} AS phi,
+    {lam0_sql} AS lam0 FROM {src}),
+_u2 AS (SELECT {carry}, lam, phi, lam0, SIN(phi) AS sphi, COS(phi) AS cphi FROM _u1),
+_u3 AS (SELECT {carry},
+    {_dlit(A)} / SQRT({_dlit(1.0)} - {_dlit(E2)} * sphi * sphi) AS n_rad,
+    sphi / cphi AS tphi,
+    {_dlit(EP2)} * cphi * cphi AS c,
+    (lam - lam0) * cphi AS a_,
+    {_dlit(A)} * ({_dlit(_MA_C0)} * phi - {_dlit(_MA_C2)} * SIN({_dlit(2.0)} * phi)
+        + {_dlit(_MA_C4)} * SIN({_dlit(4.0)} * phi)
+        - {_dlit(_MA_C6)} * SIN({_dlit(6.0)} * phi)) AS m
+  FROM _u2),
+_u4 AS (SELECT {carry}, n_rad, tphi, tphi * tphi AS t, c, a_, m,
+    a_ * a_ AS a2 FROM _u3),
+_u5 AS (SELECT {carry}, n_rad, tphi, t, c, a_, m, a2,
+    a2 * a_ AS a3, a2 * a2 AS a4 FROM _u4),
+_u6 AS (SELECT {carry}, n_rad, tphi, t, c, a_, m, a2, a3, a4,
+    a4 * a_ AS a5, a4 * a2 AS a6 FROM _u5),
+_utm AS (SELECT {carry},
+    {_dlit(K0_UTM)} * n_rad * (a_ + ({_dlit(1.0)} - t + c) * a3 / {_dlit(6.0)}
+        + ({_dlit(5.0)} - {_dlit(18.0)} * t + t * t + {_dlit(72.0)} * c
+           - {_dlit(58.0)} * {_dlit(EP2)}) * a5 / {_dlit(120.0)})
+      + {_dlit(500000.0)} AS easting,
+    {_dlit(K0_UTM)} * (m + n_rad * tphi * (a2 / {_dlit(2.0)}
+        + ({_dlit(5.0)} - t + {_dlit(9.0)} * c + {_dlit(4.0)} * c * c) * a4 / {_dlit(24.0)}
+        + ({_dlit(61.0)} - {_dlit(58.0)} * t + t * t + {_dlit(600.0)} * c
+           - {_dlit(330.0)} * {_dlit(EP2)}) * a6 / {_dlit(720.0)})){off} AS northing
+  FROM _u6)"""
 
 
 def utm_inverse(easting, northing, zone: int, north: bool = True):
@@ -244,12 +323,55 @@ def rpc_poly(c: np.ndarray, L: np.ndarray, P: np.ndarray, H: np.ndarray) -> np.n
     L2, P2, H2, LPH, L3, LP2, LH2, L2P, P3, PH2, L2H, P2H, H3
     (seagrass_lib.py:66-69). Vectorized over arrays."""
     c = np.asarray(c, np.float64)
+    # Cubes are explicit multiply chains (not **3): numpy's pow differs
+    # from DuckDB's at the ulp level, while +,-,*,/ are IEEE-identical —
+    # this keeps sql_rpc_poly() a bit-for-bit mirror of this function.
     return (c[0] + c[1] * L + c[2] * P + c[3] * H + c[4] * L * P
             + c[5] * L * H + c[6] * P * H + c[7] * L * L + c[8] * P * P
-            + c[9] * H * H + c[10] * L * P * H + c[11] * L ** 3
+            + c[9] * H * H + c[10] * L * P * H + c[11] * (L * L * L)
             + c[12] * L * P * P + c[13] * L * H * H + c[14] * L * L * P
-            + c[15] * P ** 3 + c[16] * P * H * H + c[17] * L * L * H
-            + c[18] * P * P * H + c[19] * H ** 3)
+            + c[15] * (P * P * P) + c[16] * P * H * H + c[17] * L * L * H
+            + c[18] * P * P * H + c[19] * (H * H * H))
+
+
+def sql_rpc_poly(coeffs, L: str, P: str, H: str) -> str:
+    """DuckDB SQL expression reproducing ``rpc_poly`` bit-for-bit for
+    literal coefficients: same RPC00B term order, same left-associative
+    sum, cubes as the same multiply chains."""
+    c = [_dlit(v) for v in np.asarray(coeffs, np.float64)]
+    return (
+        f"({c[0]} + {c[1]} * {L} + {c[2]} * {P} + {c[3]} * {H}"
+        f" + {c[4]} * {L} * {P} + {c[5]} * {L} * {H} + {c[6]} * {P} * {H}"
+        f" + {c[7]} * {L} * {L} + {c[8]} * {P} * {P} + {c[9]} * {H} * {H}"
+        f" + {c[10]} * {L} * {P} * {H} + {c[11]} * ({L} * {L} * {L})"
+        f" + {c[12]} * {L} * {P} * {P} + {c[13]} * {L} * {H} * {H}"
+        f" + {c[14]} * {L} * {L} * {P} + {c[15]} * ({P} * {P} * {P})"
+        f" + {c[16]} * {P} * {H} * {H} + {c[17]} * {L} * {L} * {H}"
+        f" + {c[18]} * {P} * {P} * {H} + {c[19]} * ({H} * {H} * {H}))"
+    )
+
+
+def sql_rpc_image_ctes(src: str, carry: str, rpc: dict,
+                       lon_col: str = "lon", lat_col: str = "lat",
+                       h_col: str = "h") -> str:
+    """DuckDB CTE chain reproducing ``rpc_ground_to_image`` BIT-FOR-BIT
+    for a literal camera: returns CTE definitions (no leading WITH) ending
+    in ``_rpc`` which exposes ``{carry}, img_x, img_y`` (fractional
+    sample/line). Pure +,-,*,/ throughout — IEEE-identical between the
+    numpy kernel and DuckDB, so the oracle gate is exact equality."""
+    ll = f"(({lon_col} - {_dlit(rpc['LONG_OFF'])}) / {_dlit(rpc['LONG_SCALE'])})"
+    pp = f"(({lat_col} - {_dlit(rpc['LAT_OFF'])}) / {_dlit(rpc['LAT_SCALE'])})"
+    hh = f"(({h_col} - {_dlit(rpc['HEIGHT_OFF'])}) / {_dlit(rpc['HEIGHT_SCALE'])})"
+    return f"""
+_r1 AS (SELECT {carry}, {ll} AS ln, {pp} AS pn, {hh} AS hn FROM {src}),
+_rpc AS (SELECT {carry},
+    ({sql_rpc_poly(rpc['SAMP_NUM_COEFF'], 'ln', 'pn', 'hn')}
+     / {sql_rpc_poly(rpc['SAMP_DEN_COEFF'], 'ln', 'pn', 'hn')})
+      * {_dlit(rpc['SAMP_SCALE'])} + {_dlit(rpc['SAMP_OFF'])} AS img_x,
+    ({sql_rpc_poly(rpc['LINE_NUM_COEFF'], 'ln', 'pn', 'hn')}
+     / {sql_rpc_poly(rpc['LINE_DEN_COEFF'], 'ln', 'pn', 'hn')})
+      * {_dlit(rpc['LINE_SCALE'])} + {_dlit(rpc['LINE_OFF'])} AS img_y
+  FROM _r1)"""
 
 
 def rpc_pack(rpc: dict) -> list:

@@ -23,6 +23,7 @@ from pyspark.sql import Window
 from gis_scripts_spark.geom import wkb as wkb_mod
 from gis_scripts_spark.index import cells as cells_mod
 from gis_scripts_spark.index import hex7 as hex7_mod
+from gis_scripts_spark.index import proj as proj_mod
 from gis_scripts_spark.index import tiles as tiles_mod
 from gis_scripts_spark.operators import (
     dedup,
@@ -887,6 +888,147 @@ FROM _hexed GROUP BY cell
 """
 
 
+def q_utm_forward_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snyder UTM forward (P17's kernel — the exact per-pixel code path
+    reproject_raster rides, ``index/proj.py:utm_forward``; the engine's
+    analogue of the reference's osr transforms, seagrass_lib.py:232-242)
+    under the FULL value-hash oracle: every event is assigned its standard
+    UTM zone and projected to (easting, northing) meters in ONE Arrow
+    pandas UDF — per-row vectorized central meridian, no per-row Python.
+    The DuckDB oracle re-derives both meters BIT-FOR-BIT through
+    proj.sql_utm_forward_ctes (tan as sin/cos, powers as multiply chains,
+    string-cast double literals; numeric-cast literals round through
+    DECIMAL and drift 1 ulp — measured, tests/test_proj_oracle.py)."""
+
+    @F.pandas_udf("zone bigint, easting double, northing double")
+    def enc(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        lo = lon.to_numpy()
+        la = lat.to_numpy()
+        zone = np.clip(np.floor((lo + 180.0) / 6.0) + 1.0, 1.0, 60.0)
+        e, n = proj_mod.utm_forward(lo, la, zone)
+        return pd.DataFrame(
+            {"zone": zone.astype(np.int64), "easting": e, "northing": n}
+        )
+
+    ev = derived_lonlat(_pq(spark, sf_dir, "events"), "event_id")
+    u = ev.select("event_id", enc(F.col("lon"), F.col("lat")).alias("_u"))
+    return u.select(
+        "event_id",
+        F.col("_u.zone").alias("zone"),
+        F.col("_u.easting").alias("easting"),
+        F.col("_u.northing").alias("northing"),
+    )
+
+
+_SQL_UTM_SRC = f"""(SELECT event_id, lon, lat,
+    LEAST(GREATEST(FLOOR((lon + CAST('180.0' AS DOUBLE)) / CAST('6.0' AS DOUBLE))
+                     + CAST('1.0' AS DOUBLE), CAST('1.0' AS DOUBLE)),
+          CAST('60.0' AS DOUBLE)) AS zone
+ FROM (SELECT event_id,
+         CAST(-180.0 AS DOUBLE)
+           + CAST((event_id * {LON_MULT}) % {LON_MOD} AS DOUBLE)
+             / CAST(1000.0 AS DOUBLE) AS lon,
+         CAST(-60.0 AS DOUBLE)
+           + CAST((event_id * {LAT_MULT}) % {LAT_MOD} AS DOUBLE)
+             / CAST(1000.0 AS DOUBLE) AS lat FROM events))"""
+
+SQL_UTM_FORWARD = f"""
+WITH {proj_mod.sql_utm_forward_ctes(_SQL_UTM_SRC, "event_id, zone", "zone")}
+SELECT event_id, CAST(zone AS BIGINT) AS zone, easting, northing FROM _utm
+"""
+
+
+# One RPC00B camera with every one of the 20 cubic terms non-zero (both
+# numerators AND both denominators), so the full term order is under the
+# oracle; |den coeffs| keep den in [0.99, 1.01] over the normalized box.
+_RPC_CAM = {
+    "LINE_OFF": 5000.0, "SAMP_OFF": 6000.0, "LAT_OFF": 34.0,
+    "LONG_OFF": -119.0, "HEIGHT_OFF": 100.0,
+    "LINE_SCALE": 5200.0, "SAMP_SCALE": 6100.0,
+    "LAT_SCALE": 0.04, "LONG_SCALE": 0.05, "HEIGHT_SCALE": 500.0,
+    "LINE_NUM_COEFF": [
+        0.004, 0.021, -1.0, 0.013, 0.0031, -0.0022, 0.0014, 0.0041,
+        -0.0035, 0.0026, 0.00065, -0.00032, 0.00027, -0.00041, 0.00036,
+        0.00052, -0.00023, 0.00031, -0.00044, 0.00019,
+    ],
+    "LINE_DEN_COEFF": [
+        1.0, 0.0012, -0.0009, 0.0007, 0.00041, -0.00035, 0.00028, 0.00051,
+        -0.00046, 0.00033, 0.00011, -0.00009, 0.00008, -0.00012, 0.0001,
+        0.00013, -0.00007, 0.00006, -0.00011, 0.00005,
+    ],
+    "SAMP_NUM_COEFF": [
+        -0.003, 1.0, 0.018, -0.011, -0.0027, 0.0033, -0.0018, 0.0038,
+        0.0029, -0.0024, -0.00058, 0.00037, -0.00025, 0.00046, -0.00033,
+        -0.00048, 0.00027, -0.00035, 0.00041, -0.00021,
+    ],
+    "SAMP_DEN_COEFF": [
+        1.0, -0.0011, 0.0008, -0.0006, 0.00039, 0.00031, -0.00026, 0.00049,
+        0.00043, -0.00031, 0.0001, 0.00008, -0.00007, 0.00011, -0.00009,
+        0.00012, 0.00006, -0.00005, 0.0001, -0.00004,
+    ],
+}
+
+
+def q_rpc_image_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RPC00B ground->image (R5's core kernel — the exact rational
+    polynomial ``reproject_raster_rpc`` evaluates per pixel, the engine's
+    ``gdalwarp -rpc`` / seagrass_lib.py:57-76 coord_to_rpc_image) under
+    the FULL value-hash oracle: events are mapped into the camera's
+    normalized validity box (same affine both sides), packed/unpacked
+    through the 90-double column representation, and evaluated in ONE
+    Arrow pandas UDF. The DuckDB oracle re-evaluates all four 20-term
+    polynomials BIT-FOR-BIT through proj.sql_rpc_image_ctes (pure
+    +,-,*,/ — IEEE-identical; cubes as multiply chains, not POW)."""
+    packed = proj_mod.rpc_pack(_RPC_CAM)
+
+    @F.pandas_udf("img_x double, img_y double")
+    def enc(lon: pd.Series, lat: pd.Series, h: pd.Series) -> pd.DataFrame:
+        cam = proj_mod.rpc_unpack(packed)  # the production column repr
+        x, y = proj_mod.rpc_ground_to_image(
+            cam, lon.to_numpy(), lat.to_numpy(), h.to_numpy()
+        )
+        return pd.DataFrame({"img_x": x, "img_y": y})
+
+    c = _RPC_CAM
+    ev = derived_lonlat(_pq(spark, sf_dir, "events"), "event_id")
+    hmix = ((F.col("event_id") * F.lit(7919)) % F.lit(1601)).cast("double")
+    cam_pts = ev.select(
+        "event_id",
+        (F.lit(c["LONG_OFF"]) + (F.col("lon") / F.lit(200.0)) * F.lit(c["LONG_SCALE"])).alias("lon"),
+        (F.lit(c["LAT_OFF"]) + (F.col("lat") / F.lit(67.0)) * F.lit(c["LAT_SCALE"])).alias("lat"),
+        (F.lit(c["HEIGHT_OFF"]) + ((hmix - F.lit(800.0)) / F.lit(889.0)) * F.lit(c["HEIGHT_SCALE"])).alias("h"),
+    )
+    r = cam_pts.select(
+        "event_id", enc(F.col("lon"), F.col("lat"), F.col("h")).alias("_r")
+    )
+    return r.select(
+        "event_id",
+        F.col("_r.img_x").alias("img_x"),
+        F.col("_r.img_y").alias("img_y"),
+    )
+
+
+def _sql_rpc_image() -> str:
+    c = _RPC_CAM
+    d = proj_mod._dlit
+    src = f"""(SELECT event_id,
+    {d(c["LONG_OFF"])} + (lon / {d(200.0)}) * {d(c["LONG_SCALE"])} AS lon,
+    {d(c["LAT_OFF"])} + (lat / {d(67.0)}) * {d(c["LAT_SCALE"])} AS lat,
+    {d(c["HEIGHT_OFF"])} + ((CAST((event_id * 7919) % 1601 AS DOUBLE) - {d(800.0)})
+        / {d(889.0)}) * {d(c["HEIGHT_SCALE"])} AS h
+ FROM (SELECT event_id,
+         CAST(-180.0 AS DOUBLE)
+           + CAST((event_id * {LON_MULT}) % {LON_MOD} AS DOUBLE)
+             / CAST(1000.0 AS DOUBLE) AS lon,
+         CAST(-60.0 AS DOUBLE)
+           + CAST((event_id * {LAT_MULT}) % {LAT_MOD} AS DOUBLE)
+             / CAST(1000.0 AS DOUBLE) AS lat FROM events))"""
+    return f"""
+WITH {proj_mod.sql_rpc_image_ctes(src, "event_id", c)}
+SELECT event_id, img_x, img_y FROM _rpc
+"""
+
+
 def q_mosaic_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mosaic overlap resolution (§2.7): per grid cell the LATEST event
     wins (ts desc, event_id desc tie-break) — the deterministic last-wins
@@ -1344,6 +1486,8 @@ QUERIES: dict = {
     "topk_events_per_user": q_topk_events_per_user,
     "zonal_event_stats": q_zonal_event_stats,
     "hex_zonal_stats": q_hex_zonal,
+    "utm_forward_coords": q_utm_forward_coords,
+    "rpc_image_coords": q_rpc_image_coords,
     "mosaic_last_wins": q_mosaic_last_wins,
     "distinct_classes": q_distinct_classes,
     "coverage_join": q_coverage_join,
@@ -1395,6 +1539,10 @@ ORACLES: dict[str, str] = {
     "topk_events_per_user": SQL_TOPK_EVENTS,
     "zonal_event_stats": SQL_ZONAL_EVENTS,
     "hex_zonal_stats": SQL_HEX_ZONAL,
+    # the projection kernels (P17/R5 core math) under exact-equality
+    # oracles: the SQL mirrors reproduce the numpy kernels bit-for-bit
+    "utm_forward_coords": SQL_UTM_FORWARD,
+    "rpc_image_coords": _sql_rpc_image(),
     "mosaic_last_wins": SQL_MOSAIC,
     "distinct_classes": SQL_DISTINCT_CLASSES,
     "coverage_join": SQL_COVERAGE,

@@ -28,6 +28,8 @@ QUERIES = [
     "seamless_mosaic",
     "reproject_rpc",
     "las_ground_stats",
+    "utm_forward_coords",
+    "rpc_image_coords",
 ]
 
 
