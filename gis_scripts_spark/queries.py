@@ -1233,7 +1233,7 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = 600 if "0.01" in sf_dir else 200
     images = synth.images_df(
-        spark, n, seed=42, dup_every=5, fmts=("png", "qnt", "jpeg")
+        spark, n, seed=42, dup_every=5, fmts=("png", "qnt", "jpeg", "jpegp")
     )
     return multimodal.phash_neardup_pairs(images, max_hamming=10)
 

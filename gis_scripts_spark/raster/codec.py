@@ -197,6 +197,10 @@ def encode(img: np.ndarray, fmt: str) -> bytes:
         from gis_scripts_spark.raster import jpeg
 
         return jpeg.jpeg_encode(img, quality=92, subsampling="4:4:4")
+    if fmt == "jpegp":  # progressive (SOF2) — the dominant web-crawl layout
+        from gis_scripts_spark.raster import jpeg
+
+        return jpeg.jpeg_encode_progressive(img, quality=92, subsampling="4:4:4")
     raise ValueError(f"unknown fmt {fmt}")
 
 
@@ -214,7 +218,7 @@ def decode(buf: bytes, fmt: str | None = None) -> np.ndarray:
         from gis_scripts_spark.raster import geotiff
 
         return geotiff.tiff_decode(bytes(buf))[0]
-    if fmt == "jpeg" or head[:2] == b"\xff\xd8":
+    if fmt in ("jpeg", "jpegp") or head[:2] == b"\xff\xd8":
         from gis_scripts_spark.raster import jpeg
 
         return jpeg.jpeg_decode(bytes(buf))
@@ -304,7 +308,7 @@ def probe_dtype(buf: bytes, fmt: str | None = None) -> np.dtype:
         return np.dtype(np.uint8)
     if fmt == "qnt" or head.startswith(_QNT_MAGIC):
         return np.dtype(np.uint8)
-    if fmt == "jpeg" or head[:2] == b"\xff\xd8":
+    if fmt in ("jpeg", "jpegp") or head[:2] == b"\xff\xd8":
         return np.dtype(np.uint8)
     if fmt == "raw" or head.startswith(_RAW_MAGIC):
         return _RAW_DTYPES[head[4]]
@@ -338,7 +342,7 @@ def probe_shape(buf: bytes, fmt: str | None = None) -> tuple[int, int, int]:
     if fmt == "raw" or head.startswith(_RAW_MAGIC):
         _code, w, h, bands = struct.unpack_from("<BIIB", head, 4)
         return int(h), int(w), int(bands)
-    if fmt == "jpeg" or head[:2] == b"\xff\xd8":
+    if fmt in ("jpeg", "jpegp") or head[:2] == b"\xff\xd8":
         from gis_scripts_spark.raster import jpeg
 
         return jpeg.probe_jpeg_shape(bytes(buf))

@@ -1,20 +1,24 @@
-"""Baseline sequential JPEG codec, pure numpy + stdlib (no PIL/libjpeg in
-the sandbox) — closes the r4 verdict "What's missing #1": the input_hint
-schema's `fmt` column includes 'jpeg', and the reference's imagery flows
-through GDAL which reads JPEG-compressed products routinely (e.g. the
-WorldView zip pipeline, seagrass_lib.py:195-242).
+"""JPEG codec, pure numpy + stdlib (no PIL/libjpeg in the sandbox) —
+closes the r4 verdict "What's missing #1": the input_hint schema's `fmt`
+column includes 'jpeg', and the reference's imagery flows through GDAL
+which reads JPEG-compressed products routinely (e.g. the WorldView zip
+pipeline, seagrass_lib.py:195-242).
 
-Implements ITU-T T.81 (public spec) baseline sequential DCT:
+Implements ITU-T T.81 (public spec) huffman DCT coding:
 - encode: 8-bit grayscale / RGB (YCbCr, BT.601 full-range), 4:4:4 or 4:2:0
   subsampling, Annex K quantization tables scaled by the IJG quality
   formula, Annex K Huffman tables, optional restart markers (DRI/RSTn),
   JFIF APP0; also "abbreviated" streams (tables omitted) for JPEG-in-TIFF
-  (TIFF 6.0 supplement 2 / TTN2 compression 7 + JPEGTables tag 347)
-- decode: SOF0 (baseline) and SOF1 (extended sequential, same machinery);
-  arbitrary DQT/DHT placement, multiple tables, 16-bit DQT precision,
+  (TIFF 6.0 supplement 2 / TTN2 compression 7 + JPEGTables tag 347);
+  PROGRESSIVE encode (jpeg_encode_progressive) with a libjpeg-shaped scan
+  script and a generated full-alphabet AC table (Annex K.2 algorithm)
+- decode: SOF0 (baseline), SOF1 (extended sequential), and SOF2
+  (PROGRESSIVE: spectral selection + successive approximation per Annex G
+  — DC first/refine, AC first with EOB runs, AC refinement with
+  correction bits; the dominant web-crawl JPEG layout); arbitrary
+  DQT/DHT placement, multiple tables, 16-bit DQT precision,
   restart-marker resync, generic integer sampling factors (4:4:4, 4:2:0,
-  4:2:2, ...), 1- and 3-component scans; SOF2 (progressive) raises
-  NotImplementedError honestly
+  4:2:2, ...), 1- and 3-component scans
 - the DCT is the orthonormal 8x8 DCT-II matrix form: JPEG's A.3.3
   normalization (1/4 C(u)C(v) cos-sum) is exactly F = M @ f @ M.T for the
   orthonormal M, so forward/inverse are two 8x8 matmuls, vectorized over
@@ -430,6 +434,363 @@ def jpeg_encode(
     return bytes(out)
 
 
+def _prepare_components(img: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front half: color transform, subsampling, quantized
+    zigzag coefficient grids. Returns (h, w, comps, grids, qt_l, qt_c)
+    with comps = [(id, hi, vi, tq)], grids MCU-padded."""
+    img = np.asarray(img, np.uint8)
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[:, :, 0]
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    qt_l = quality_scale(QT_LUMA, quality)
+    qt_c = quality_scale(QT_CHROMA, quality)
+    if gray:
+        planes = [(1, 1, 1, 0, img.astype(np.float64))]
+    else:
+        if img.shape[2] != 3:
+            raise ValueError(f"unsupported band count {img.shape[2]}")
+        ycc = _rgb_to_ycbcr(img)
+        if subsampling == "4:4:4":
+            hs = vs = 1
+            cb, cr = ycc[..., 1], ycc[..., 2]
+        elif subsampling == "4:2:0":
+            hs = vs = 2
+            pad = np.pad(ycc[..., 1:], ((0, h % 2), (0, w % 2), (0, 0)), mode="edge")
+            ph, pw = pad.shape[:2]
+            ds = pad.reshape(ph // 2, 2, pw // 2, 2, 2).mean(axis=(1, 3))
+            cb, cr = ds[..., 0], ds[..., 1]
+        else:
+            raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+        planes = [(1, hs, vs, 0, ycc[..., 0]), (2, 1, 1, 1, cb), (3, 1, 1, 1, cr)]
+    hmax = max(p[1] for p in planes)
+    vmax = max(p[2] for p in planes)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    comps, grids = [], {}
+    for cid, hi, vi, tq, plane in planes:
+        comps.append((cid, hi, vi, tq))
+        qt = qt_l if tq == 0 else qt_c
+        grids[cid] = _quantize_plane(plane, qt, mcux * hi, mcuy * vi)
+    return h, w, comps, grids, qt_l, qt_c
+
+
+def _bit_width(v: int) -> int:
+    return int(v).bit_length()
+
+
+def _gen_huff_table(freq: dict[int, int]) -> _HuffTable:
+    """Huffman table from symbol frequencies per T.81 Annex K.2 (the
+    spec's own code-length algorithm with the reserved all-ones symbol
+    and the Adjust_BITS 16-bit depth limit). Needed because the Annex K
+    example tables are SEQUENTIAL tables — they carry no EOBn (r>0,s=0)
+    symbols, which progressive AC scans require."""
+    freqs = [0] * 257
+    for s, f in freq.items():
+        freqs[s] = int(f)
+    freqs[256] = 1  # reserved: keeps any real symbol off the all-ones code
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        v1 = -1
+        for i in range(257):
+            if freqs[i] > 0 and (v1 == -1 or freqs[i] <= freqs[v1]):
+                v1 = i  # least freq, largest value on ties
+        v2 = -1
+        for i in range(257):
+            if freqs[i] > 0 and i != v1 and (v2 == -1 or freqs[i] <= freqs[v2]):
+                v2 = i
+        if v2 == -1:
+            break
+        freqs[v1] += freqs[v2]
+        freqs[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    bits = [0] * 33
+    for c in codesize:
+        if c:
+            bits[c] += 1
+    i = 32  # Adjust_BITS: fold depths > 16 back
+    while i > 16:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = 16
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1  # drop the reserved symbol's slot
+    huffval = [s for cs in range(1, 17) for s in range(256) if codesize[s] == cs]
+    return _HuffTable(bits[1:17], huffval)
+
+
+def _prog_ac_table() -> _HuffTable:
+    """Static AC table for progressive scans: the full symbol alphabet —
+    EOBn runs (r<<4 for r=0..14), ZRL, and (run, size) for size 1..10 —
+    with fixed plausibility-weighted pseudo-frequencies. Any valid table
+    works (it is transmitted in DHT); this one keeps EOB0 and small
+    coefficients short."""
+    freq: dict[int, int] = {0x00: 8192, 0xF0: 64}
+    for r in range(1, 15):
+        freq[r << 4] = max(2, 1024 >> r)  # EOBn
+    for r in range(16):
+        for s in range(1, 11):
+            freq[(r << 4) | s] = max(1, 4096 >> (r + 2 * s))
+    return _gen_huff_table(freq)
+
+
+_PROG_AC = None
+
+
+def _get_prog_ac() -> _HuffTable:
+    global _PROG_AC
+    if _PROG_AC is None:
+        _PROG_AC = _prog_ac_table()
+    return _PROG_AC
+
+
+class _ProgState:
+    """Per-scan progressive-encoder entropy state: the EOB run counter and
+    the buffered correction bits that must ride with the NEXT emitted
+    symbol (T.81 G.1.2.3 / libjpeg's BE buffer)."""
+
+    def __init__(self, wtr: _BitWriter, ac_tab: _HuffTable | None):
+        self.wtr = wtr
+        self.ac_tab = ac_tab
+        self.eobrun = 0
+        self.corr: list[int] = []  # correction bits pending behind an EOB
+
+    def emit_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = _bit_width(self.eobrun) - 1
+            ln, code = self.ac_tab.enc[nbits << 4]
+            self.wtr.put(code, ln)
+            if nbits:
+                self.wtr.put(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+            for b in self.corr:
+                self.wtr.put(b, 1)
+            self.corr = []
+
+    def flush(self) -> None:
+        self.emit_eobrun()
+
+
+def _encode_ac_first_block(st: _ProgState, zz: np.ndarray,
+                           ss: int, se: int, al: int) -> None:
+    """T.81 G.1.2.2: first AC scan of a spectral band (point transform =
+    magnitude shift toward zero)."""
+    wtr = st.wtr
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        mag = (-v if v < 0 else v) >> al
+        if mag == 0:
+            r += 1
+            continue
+        st.emit_eobrun()
+        while r > 15:
+            ln, code = st.ac_tab.enc[0xF0]
+            wtr.put(code, ln)
+            r -= 16
+        nbits = _bit_width(mag)
+        ln, code = st.ac_tab.enc[(r << 4) | nbits]
+        wtr.put(code, ln)
+        bits = mag if v >= 0 else (~mag)  # T.81 F.2: negative -> complement
+        wtr.put(bits, nbits)
+        r = 0
+    if r > 0:
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            st.emit_eobrun()
+
+
+def _encode_ac_refine_block(st: _ProgState, zz: np.ndarray,
+                            ss: int, se: int, al: int) -> None:
+    """T.81 G.1.2.3 (libjpeg encode_mcu_AC_refine structure): refinement
+    AC scan — newly-nonzero coefficients get (run,1) symbols; history
+    coefficients get buffered correction bits."""
+    wtr = st.wtr
+    absv = [(-int(zz[k]) if zz[k] < 0 else int(zz[k])) >> al for k in range(ss, se + 1)]
+    eob = 0  # index (in band) AFTER the last newly-nonzero coefficient
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i + 1
+    r = 0
+    br: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i < eob:
+            st.emit_eobrun()
+            ln, code = st.ac_tab.enc[0xF0]
+            wtr.put(code, ln)
+            r -= 16
+            for b in br:
+                wtr.put(b, 1)
+            br = []
+        if t > 1:
+            # previously-nonzero at this precision: one correction bit
+            br.append(t & 1)
+            continue
+        st.emit_eobrun()
+        ln, code = st.ac_tab.enc[(r << 4) | 1]
+        wtr.put(code, ln)
+        wtr.put(1 if zz[ss + i] >= 0 else 0, 1)
+        for b in br:
+            wtr.put(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.corr.extend(br)
+        if st.eobrun == 0x7FFF or len(st.corr) > 937:
+            st.emit_eobrun()
+
+
+def jpeg_encode_progressive(
+    img: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "4:2:0",
+    scans: list[tuple[list[int], int, int, int, int]] | None = None,
+) -> bytes:
+    """(h, w) or (h, w, 1|3) uint8 -> PROGRESSIVE (SOF2) JPEG bytes.
+
+    ``scans`` is a script of (component_ids, Ss, Se, Ah, Al); the default
+    mirrors libjpeg's standard script shape (DC first at Al=1, banded AC
+    first scans, then successive-approximation refinements down to Al=0),
+    so every coefficient is fully transmitted — decoding the result is
+    BIT-IDENTICAL to decoding a baseline encode with the same tables
+    (tests/test_jpeg_progressive.py pins that cross-path equality).
+    """
+    h, w, comps, grids, qt_l, qt_c = _prepare_components(img, quality, subsampling)
+    gray = len(comps) == 1
+    ids = [c[0] for c in comps]
+    if scans is None:
+        if gray:
+            scans = [
+                ([1], 0, 0, 0, 1),
+                ([1], 1, 5, 0, 2), ([1], 6, 63, 0, 2),
+                ([1], 1, 63, 2, 1),
+                ([1], 0, 0, 1, 0),
+                ([1], 1, 63, 1, 0),
+            ]
+        else:
+            scans = [
+                (ids, 0, 0, 0, 1),
+                ([1], 1, 5, 0, 2), ([1], 6, 63, 0, 2),
+                ([2], 1, 63, 0, 1), ([3], 1, 63, 0, 1),
+                ([1], 1, 63, 2, 1),
+                (ids, 0, 0, 1, 0),
+                ([1], 1, 63, 1, 0),
+                ([2], 1, 63, 1, 0), ([3], 1, 63, 1, 0),
+            ]
+    by_id = {c[0]: c for c in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    dc_l = _HuffTable(DC_LUMA_BITS, DC_LUMA_VALS)
+    dc_c = _HuffTable(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    # AC scans need EOBn symbols, which the Annex K sequential tables lack
+    # (real progressive encoders always ship custom DHTs for this reason)
+    ac_p = _get_prog_ac()
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _dqt_segment([(0, qt_l)] + ([] if gray else [(1, qt_c)]))
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, hi, vi, tq in comps:
+        sof += bytes([cid, (hi << 4) | vi, tq])
+    out += _seg(0xFFC2, sof)
+    dhts = [(0x00, dc_l), (0x10, ac_p)]
+    if not gray:
+        dhts += [(0x01, dc_c)]
+    out += _dht_segment(dhts)
+
+    for scan_ids, ss, se, ah, al in scans:
+        wtr = _BitWriter()
+        if ss == 0:
+            if se != 0:
+                raise ValueError("DC scan must have Se=0")
+
+            def _dc_block(zz, cid, tq, preds):
+                v = int(zz[0]) >> al  # arithmetic shift (G.1.2.1)
+                if ah == 0:
+                    diff = v - preds[cid]
+                    preds[cid] = v
+                    ssss = _category(diff)
+                    dct = dc_l if tq == 0 else dc_c
+                    ln, code = dct.enc[ssss]
+                    wtr.put(code, ln)
+                    if ssss:
+                        wtr.put(diff if diff >= 0 else diff + (1 << ssss) - 1, ssss)
+                else:
+                    wtr.put(v & 1, 1)
+
+            preds = {cid: 0 for cid in scan_ids}
+            if len(scan_ids) > 1:
+                # interleaved: MCU raster over the scan's components
+                scomps = [by_id[cid] for cid in scan_ids]
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for cid, hi, vi, tq in scomps:
+                            for vy in range(vi):
+                                for vx in range(hi):
+                                    _dc_block(grids[cid][my * vi + vy, mx * hi + vx],
+                                              cid, tq, preds)
+            else:
+                # single-component scans are non-interleaved: block raster
+                # over the component's own sampled grid (T.81 A.2.2)
+                cid, hi, vi, tq = by_id[scan_ids[0]]
+                bw_c = ((w * hi + hmax - 1) // hmax + 7) // 8
+                bh_c = ((h * vi + vmax - 1) // vmax + 7) // 8
+                for by_r in range(bh_c):
+                    for bx in range(bw_c):
+                        _dc_block(grids[cid][by_r, bx], cid, tq, preds)
+        else:
+            if len(scan_ids) != 1:
+                raise ValueError("AC scans must be single-component (T.81 G.1.1)")
+            cid, hi, vi, tq = by_id[scan_ids[0]]
+            bw_c = ((w * hi + hmax - 1) // hmax + 7) // 8
+            bh_c = ((h * vi + vmax - 1) // vmax + 7) // 8
+            st = _ProgState(wtr, ac_p)
+            for by_r in range(bh_c):
+                for bx in range(bw_c):
+                    zz = grids[cid][by_r, bx]
+                    if ah == 0:
+                        _encode_ac_first_block(st, zz, ss, se, al)
+                    else:
+                        _encode_ac_refine_block(st, zz, ss, se, al)
+            st.flush()
+        wtr.pad_to_byte()
+        sos = bytes([len(scan_ids)])
+        for cid in scan_ids:
+            tq = by_id[cid][3]
+            td = 0 if tq == 0 else 1
+            sos += bytes([cid, (td << 4) | 0])  # all AC scans use table 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xFFDA, sos)
+        out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def jpeg_tables_stream(quality: int = 85, gray: bool = False) -> bytes:
     """Tables-only abbreviated stream (SOI, DQT, DHT, EOI) — the JPEGTables
     TIFF tag (347) payload per TIFF Technical Note 2."""
@@ -546,17 +907,27 @@ def _find_scan_end(buf: bytes, start: int) -> int:
 
 
 def jpeg_decode(buf: bytes, tables: JpegTables | None = None) -> np.ndarray:
-    """Baseline sequential JPEG bytes -> (h, w, bands) uint8 (bands 1 or 3;
-    3-component scans are taken as YCbCr and converted to RGB — the JFIF /
-    TIFF-photometric-YCbCr convention). `tables` seeds the decoder state
-    for abbreviated streams (JPEG-in-TIFF with a JPEGTables tag)."""
+    """JPEG bytes -> (h, w, bands) uint8 (bands 1 or 3; 3-component scans
+    are taken as YCbCr and converted to RGB — the JFIF / TIFF-photometric-
+    YCbCr convention). Baseline (SOF0), extended sequential (SOF1), and
+    PROGRESSIVE (SOF2: spectral selection + successive approximation,
+    T.81 Annex G) huffman streams. `tables` seeds the decoder state for
+    abbreviated streams (JPEG-in-TIFF with a JPEGTables tag).
+
+    Scans accumulate quantized coefficients into per-component grids;
+    dequantization + IDCT happen once at EOI — which is also what makes
+    the progressive path verifiable: a fully-transmitted progressive
+    stream reconstructs the IDENTICAL coefficients as a baseline encode
+    with the same tables, so pixels match bit-for-bit
+    (tests/test_jpeg_progressive.py)."""
     buf = bytes(buf)
     tabs = tables.copy() if tables is not None else JpegTables()
     if buf[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     i = 2
     frame = None  # (precision, h, w, comps[(id, hi, vi, tq)])
-    out_planes: dict[int, np.ndarray] = {}
+    progressive = False
+    coef_grids: dict[int, np.ndarray] = {}  # cid -> (bh, bw, 64) zigzag
     while i < len(buf):
         if buf[i] != 0xFF:
             raise ValueError(f"JPEG marker expected at {i}")
@@ -575,7 +946,7 @@ def jpeg_decode(buf: bytes, tables: JpegTables | None = None) -> np.ndarray:
             _parse_dht(payload, tabs)
         elif marker == 0xFFDD:
             tabs.restart_interval = struct.unpack(">H", payload)[0]
-        elif marker in (0xFFC0, 0xFFC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif marker in (0xFFC0, 0xFFC1, 0xFFC2):  # SOF0/SOF1/SOF2
             prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec} not supported")
@@ -584,8 +955,13 @@ def jpeg_decode(buf: bytes, tables: JpegTables | None = None) -> np.ndarray:
                 cid, hv, tq = payload[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 15, tq))
             frame = (prec, fh, fw, comps)
-        elif marker == 0xFFC2:
-            raise NotImplementedError("progressive JPEG (SOF2) not supported")
+            progressive = marker == 0xFFC2
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-fw // (8 * hmax))
+            mcuy = -(-fh // (8 * vmax))
+            for cid, hi, vi, _tq in comps:
+                coef_grids[cid] = np.zeros((mcuy * vi, mcux * hi, 64), np.int64)
         elif marker in (0xFFC3, 0xFFC5, 0xFFC6, 0xFFC7, 0xFFC9, 0xFFCA, 0xFFCB,
                         0xFFCD, 0xFFCE, 0xFFCF):
             raise NotImplementedError(f"JPEG frame type {marker:#x} not supported")
@@ -597,18 +973,31 @@ def jpeg_decode(buf: bytes, tables: JpegTables | None = None) -> np.ndarray:
             for s in range(ns):
                 cs, tdta = payload[1 + 2 * s : 3 + 2 * s]
                 scan_sel.append((cs, tdta >> 4, tdta & 15))
+            ss_, se_, ahal = payload[1 + 2 * ns : 4 + 2 * ns]
             end = _find_scan_end(buf, i)
-            _decode_scan(buf[i:end], frame, scan_sel, tabs, out_planes)
+            if progressive:
+                _decode_scan_progressive(
+                    buf[i:end], frame, scan_sel,
+                    (ss_, se_, ahal >> 4, ahal & 15), tabs, coef_grids)
+            else:
+                _decode_scan(buf[i:end], frame, scan_sel, tabs, coef_grids)
             i = end
         # APPn / COM: skipped
-    if frame is None or not out_planes:
+    if frame is None or not coef_grids:
         raise ValueError("no image data in JPEG stream")
     _prec, fh, fw, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     planes = []
-    for cid, hi, vi, _tq in comps:
-        p = out_planes[cid]
+    for cid, hi, vi, tq in comps:
+        qt = tabs.qt.get(tq)
+        if qt is None:
+            raise ValueError("missing JPEG quantization table")
+        g = coef_grids[cid]
+        bh, bw = g.shape[:2]
+        coefs = (g.reshape(-1, 64) * qt[None, :])[:, UNZIGZAG].reshape(-1, 8, 8)
+        spatial = idct_blocks(coefs.astype(np.float64)) + 128.0
+        p = spatial.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         # upsample to full resolution by pixel replication, crop
         p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
         planes.append(p[:fh, :fw])
@@ -620,7 +1009,9 @@ def jpeg_decode(buf: bytes, tables: JpegTables | None = None) -> np.ndarray:
 
 
 def _decode_scan(data: bytes, frame, scan_sel, tabs: JpegTables,
-                 out_planes: dict[int, np.ndarray]) -> None:
+                 grids: dict[int, np.ndarray]) -> None:
+    """Sequential (SOF0/SOF1) interleaved scan into the shared
+    per-component zigzag coefficient grids."""
     _prec, fh, fw, comps = frame
     by_id = {c[0]: c for c in comps}
     hmax = max(c[1] for c in comps)
@@ -629,13 +1020,7 @@ def _decode_scan(data: bytes, frame, scan_sel, tabs: JpegTables,
     mcuy = -(-fh // (8 * vmax))
     n_mcu = mcux * mcuy
     if len(scan_sel) != len(comps):
-        raise NotImplementedError("non-interleaved JPEG scans not supported")
-
-    # coefficient grids (zigzag order) per scan component
-    grids = {}
-    for cs, _td, _ta in scan_sel:
-        _cid, hi, vi, _tq = by_id[cs]
-        grids[cs] = np.zeros((mcuy * vi, mcux * hi, 64), np.int64)
+        raise NotImplementedError("non-interleaved sequential JPEG scans not supported")
 
     # split on restart markers; each segment resets DC predictions
     segments = []
@@ -691,18 +1076,190 @@ def _decode_scan(data: bytes, frame, scan_sel, tabs: JpegTables,
     if mcu != n_mcu:
         raise ValueError(f"JPEG scan decoded {mcu}/{n_mcu} MCUs")
 
-    # vectorized dequant + IDCT + assembly per component
-    for cs, _td, _ta in scan_sel:
-        _cid, hi, vi, tq = by_id[cs]
-        qt = tabs.qt.get(tq)
-        if qt is None:
-            raise ValueError("missing JPEG quantization table")
-        g = grids[cs]
-        bh, bw = g.shape[:2]
-        coefs = (g.reshape(-1, 64) * qt[None, :])[:, UNZIGZAG].reshape(-1, 8, 8)
-        spatial = idct_blocks(coefs.astype(np.float64)) + 128.0
-        plane = spatial.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-        out_planes[cs] = plane
+
+def _split_restart_segments(data: bytes) -> list[bytes]:
+    segments = []
+    start = 0
+    j = 0
+    while j < len(data) - 1:
+        if data[j] == 0xFF and 0xD0 <= data[j + 1] <= 0xD7:
+            segments.append(data[start:j])
+            start = j + 2
+            j += 2
+        else:
+            j += 1
+    segments.append(data[start:])
+    return segments
+
+
+def _decode_ac_first_block(rdr: _BitReader, zz: np.ndarray, ss: int, se: int,
+                           al: int, ac_tab: _HuffTable, eobrun: int) -> int:
+    """T.81 G.1.2.2 first AC scan of one block; returns the new EOBRUN."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = rdr.read_symbol(ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rdr.read_bits(r)
+            return eobrun
+        k += r
+        if k > se:
+            raise ValueError("JPEG progressive AC coefficient overflow")
+        zz[k] = _extend(rdr.read_bits(s), s) << al
+        k += 1
+    return 0
+
+
+def _decode_ac_refine_block(rdr: _BitReader, zz: np.ndarray, ss: int, se: int,
+                            al: int, ac_tab: _HuffTable, eobrun: int) -> int:
+    """T.81 G.1.2.3 successive-approximation AC refinement of one block
+    (libjpeg decode_mcu_AC_refine structure); returns the new EOBRUN."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = rdr.read_symbol(ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r != 15:  # EOBn
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rdr.read_bits(r)
+                    break
+                sval = 0  # ZRL: advance over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid JPEG AC refinement symbol")
+                sval = p1 if rdr.read_bits(1) else m1
+            while k <= se:
+                v = int(zz[k])
+                if v != 0:
+                    # history coefficient: one correction bit
+                    if rdr.read_bits(1) and (v & p1) == 0:
+                        zz[k] = v + (p1 if v >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                zz[k] = sval
+            k += 1
+    if eobrun > 0:
+        # inside an EOB run: only correction bits for history coefficients
+        while k <= se:
+            v = int(zz[k])
+            if v != 0:
+                if rdr.read_bits(1) and (v & p1) == 0:
+                    zz[k] = v + (p1 if v >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_scan_progressive(data: bytes, frame, scan_sel, band,
+                             tabs: JpegTables,
+                             grids: dict[int, np.ndarray]) -> None:
+    """One progressive (SOF2) scan into the shared coefficient grids.
+    band = (Ss, Se, Ah, Al). DC scans (Ss=0) may be interleaved; AC scans
+    are single-component and walk the component's own block raster
+    (T.81 A.2.2 / G.1.1). Restart markers reset DC predictions and the
+    EOB run."""
+    _prec, fh, fw, comps = frame
+    ss, se, ah, al = band
+    by_id = {c[0]: c for c in comps}
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    segments = _split_restart_segments(data)
+    ri = tabs.restart_interval
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG progressive DC scan must have Se=0")
+        if ah == 0:
+            for cs, td, _ta in scan_sel:
+                if tabs.huff.get(0x00 | td) is None:
+                    raise ValueError("missing JPEG Huffman table")
+        # unit = MCU (interleaved) or block (single component)
+        if len(scan_sel) > 1:
+            units = []
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    blocks = []
+                    for cs, td, _ta in scan_sel:
+                        _cid, hi, vi, _tq = by_id[cs]
+                        for vy in range(vi):
+                            for vx in range(hi):
+                                blocks.append((cs, td, my * vi + vy, mx * hi + vx))
+                    units.append(blocks)
+        else:
+            cs, td, _ta = scan_sel[0]
+            _cid, hi, vi, _tq = by_id[cs]
+            bw_c = ((fw * hi + hmax - 1) // hmax + 7) // 8
+            bh_c = ((fh * vi + vmax - 1) // vmax + 7) // 8
+            units = [[(cs, td, by_r, bx)]
+                     for by_r in range(bh_c) for bx in range(bw_c)]
+        n_units = len(units)
+        done = 0
+        for seg in segments:
+            rdr = _BitReader(seg.replace(b"\xff\x00", b"\xff"))
+            preds = {cs: 0 for cs, _t, _a in scan_sel}
+            count = min(ri, n_units - done) if ri else n_units - done
+            for u in range(done, done + count):
+                for cs, td, gy, gx in units[u]:
+                    zz = grids[cs][gy, gx]
+                    if ah == 0:
+                        t = rdr.read_symbol(tabs.huff[0x00 | td])
+                        preds[cs] += _extend(rdr.read_bits(t), t)
+                        zz[0] = preds[cs] << al
+                    else:
+                        if rdr.read_bits(1):
+                            zz[0] = int(zz[0]) | (1 << al)
+            done += count
+            if done >= n_units:
+                break
+        if done != n_units:
+            raise ValueError(f"JPEG progressive DC scan decoded {done}/{n_units}")
+        return
+
+    # AC scan: one component, block raster
+    if len(scan_sel) != 1:
+        raise ValueError("JPEG progressive AC scan must be single-component")
+    cs, _td, ta = scan_sel[0]
+    _cid, hi, vi, _tq = by_id[cs]
+    ac_tab = tabs.huff.get(0x10 | ta)
+    if ac_tab is None:
+        raise ValueError("missing JPEG Huffman table")
+    bw_c = ((fw * hi + hmax - 1) // hmax + 7) // 8
+    bh_c = ((fh * vi + vmax - 1) // vmax + 7) // 8
+    n_blocks = bh_c * bw_c
+    done = 0
+    for seg in segments:
+        rdr = _BitReader(seg.replace(b"\xff\x00", b"\xff"))
+        eobrun = 0
+        count = min(ri, n_blocks - done) if ri else n_blocks - done
+        for b in range(done, done + count):
+            by_r, bx = divmod(b, bw_c)
+            zz = grids[cs][by_r, bx]
+            if ah == 0:
+                eobrun = _decode_ac_first_block(rdr, zz, ss, se, al, ac_tab, eobrun)
+            else:
+                eobrun = _decode_ac_refine_block(rdr, zz, ss, se, al, ac_tab, eobrun)
+        done += count
+        if done >= n_blocks:
+            break
+    if done != n_blocks:
+        raise ValueError(f"JPEG progressive AC scan decoded {done}/{n_blocks}")
 
 
 def probe_jpeg_shape(buf: bytes) -> tuple[int, int, int]:

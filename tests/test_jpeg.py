@@ -101,11 +101,13 @@ def test_jpeg_abbreviated_stream_with_external_tables():
         jpeg.jpeg_decode(jpeg.jpeg_encode(img, quality=85, abbreviated=True))
 
 
-def test_jpeg_progressive_raises():
+def test_jpeg_lossless_sof_raises():
+    """SOF2 (progressive) is now implemented (tests/test_jpeg_progressive);
+    the honest boundary moved to genuinely-unsupported frame types."""
     img = _smooth_rgb(16, 16)
     buf = bytearray(jpeg.jpeg_encode(img, quality=85))
     i = buf.find(b"\xff\xc0")
-    buf[i + 1] = 0xC2  # flip SOF0 -> SOF2
+    buf[i + 1] = 0xC3  # flip SOF0 -> SOF3 (lossless sequential)
     with pytest.raises(NotImplementedError):
         jpeg.jpeg_decode(bytes(buf))
 
