@@ -23,6 +23,9 @@ import os
 import sys
 import time
 
+import numpy as np
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
@@ -310,6 +313,81 @@ def job_knn(spark, n: int) -> int:
     return n
 
 
+_EMB_DIM = 64
+_EMB_CLUSTERS = 256
+
+
+def synth_embeddings(spark, n: int, seed: int = 5, id_col: str = "vec_id",
+                     parts: int = 64):
+    """Deterministic clustered unit embeddings (the ANN regime: vectors
+    concentrate on cluster cones, so inverted lists have real structure).
+    One Arrow pass; values derive from integer mixing of (id, dim) alone —
+    identical at any partitioning."""
+
+    @F.pandas_udf(f"array<float>")
+    def gen(ids: pd.Series) -> pd.Series:
+        iv = ids.to_numpy().astype(np.uint64)
+        j = np.arange(_EMB_DIM, dtype=np.uint64)[None, :]
+
+        def mix(x):
+            with np.errstate(over="ignore"):
+                x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+                x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+                return x ^ (x >> np.uint64(31))
+
+        cid = (iv % np.uint64(_EMB_CLUSTERS))[:, None]
+        with np.errstate(over="ignore"):
+            c_bits = mix(cid * np.uint64(0x9E3779B97F4A7C15) + j + np.uint64(seed))
+            v_bits = mix(iv[:, None] * np.uint64(0xD6E8FEB86659FD93) + j
+                         + np.uint64(seed * 7919))
+        center = c_bits.astype(np.float64) / 2**63 - 1.0
+        noise = v_bits.astype(np.float64) / 2**63 - 1.0
+        m = center * 2.0 + noise * 0.7
+        m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        return pd.Series(list(m.astype(np.float32)))
+
+    return spark.range(0, n, 1, parts).select(
+        F.col("id").alias(id_col), gen(F.col("id")).alias("embedding")
+    )
+
+
+_ANN_CENTS: dict[int, "np.ndarray"] = {}
+
+
+def job_ann(spark, n: int) -> int:
+    """IVF ANN search at MATERIAL size: n corpus vectors (dim 64, 256
+    deterministic clusters) x n/8 queries, k=5, n_lists=64, nprobe=8.
+    The codebook is trained ONCE per size (index build is an offline step
+    amortized over every search at production scale; deterministic synth +
+    deterministic init make it identical across sessions) — the timed
+    path is assign + probe-explode + per-list BLAS cogroup + bounded rank
+    window, the shape that serves queries at 10^12 rows."""
+    from gis_scripts_spark.operators import ann_ivf
+
+    corpus = synth_embeddings(spark, n)
+    queries = synth_embeddings(spark, n // 8, seed=17, id_col="vec_id").withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000_000)
+    )
+    cents = _ANN_CENTS.get(n)
+    if cents is None:
+        cents = ann_ivf.train_ivf(
+            corpus, n_lists=64, n_iters=4,
+            sample_fraction=min(1.0, 200_000 / max(n, 1)),
+        )
+        _ANN_CENTS[n] = cents
+    out = ann_ivf.ivf_topk(
+        corpus, k=5, id_col="vec_id", n_lists=64, nprobe=8,
+        centroids=cents, queries_df=queries,
+    )
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.pmod(F.col("neighbor_id"), F.lit(997))).alias("nb_sum"),
+        F.sum("rank").alias("rk_sum"),
+    )
+    agg.write.format("noop").mode("overwrite").save()
+    return n
+
+
 def job_rank_shuffle(spark, n: int) -> int:
     """CEILING CONTROL for the kNN round-1 shape: the minimal Spark job
     with the same skeleton — a shuffle equi-join whose output feeds a
@@ -479,6 +557,8 @@ def main() -> None:
     ap.add_argument("--images", type=int, default=40_000)
     ap.add_argument("--knn", type=int, default=2_000_000,
                     help="points for the knn job (queries = knn/4)")
+    ap.add_argument("--ann", type=int, default=2_000_000,
+                    help="corpus vectors for the ann job (queries = ann/8)")
     ap.add_argument("--n-cores", type=int, default=4, help="cluster size N proxy")
     ap.add_argument("--n4-cores", type=int, default=16, help="cluster size 4N proxy")
     ap.add_argument("--jobs", type=str, default="points,points_s2_udf,images")
@@ -543,6 +623,8 @@ def main() -> None:
         ("knn", job_knn, args.knn, 32768),
         # host ceiling for the kNN round-1 shuffle+rank shape (no kNN code)
         ("rank_shuffle", job_rank_shuffle, args.knn, 32768),
+        # IVF ANN search at material size (codebook trained once, untimed)
+        ("ann", job_ann, args.ann, 16384),
     ):
         if name not in wanted:
             continue
