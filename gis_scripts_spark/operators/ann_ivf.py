@@ -209,28 +209,44 @@ def ivf_topk(
             return pd.DataFrame({"_qid": [], "_pid": [], "_sim": []})
         qm = _unit_rows(np.stack(qdf["_qv"].to_numpy()).astype(np.float64))
         cm = _unit_rows(np.stack(cdf["_pv"].to_numpy()).astype(np.float64))
-        sims = qm @ cm.T  # (nq, nc)
-        qid = qdf["_qid"].to_numpy()
+        qid_all = qdf["_qid"].to_numpy()
         pid = cdf["_pid"].to_numpy()
-        if excl:
-            sims[qid[:, None] == pid[None, :]] = -np.inf
-        m = min(kk, sims.shape[1])
         # stable (sim desc, pid asc) tie-break: sort candidate columns by
         # pid once, then stable argsort on -sim
         order_p = np.argsort(pid, kind="mergesort")
-        sims = sims[:, order_p]
+        cm = cm[order_p]
         pid = pid[order_p]
-        top = np.argsort(-sims, axis=1, kind="stable")[:, :m]
-        tsim = np.take_along_axis(sims, top, axis=1)
-        keep = np.isfinite(tsim)
-        cnt = keep.sum(axis=1)
-        return pd.DataFrame(
-            {
-                "_qid": np.repeat(qid, cnt),
-                "_pid": pid[top[keep]],
-                "_sim": tsim[keep],
-            }
-        )
+        nc = len(pid)
+        m = min(kk, nc)
+        # BLOCK over queries: the full (nq, nc) sim matrix is O(nq*nc)
+        # memory — at 2M vectors / 64 lists a single cogroup would
+        # materialize 31k x 31k x 8B = 7.7 GB and stall the executor
+        # (measured: the 2M scaling sweep hung here). Chunks bound the
+        # live matrix to ~256 MB; each chunk's top-k is final because
+        # rows are independent.
+        q_chunk = max(1, int(32_000_000 // max(nc, 1)))
+        outs = []
+        for s in range(0, len(qid_all), q_chunk):
+            sims = qm[s : s + q_chunk] @ cm.T  # (chunk, nc)
+            qid = qid_all[s : s + q_chunk]
+            if excl:
+                sims[qid[:, None] == pid[None, :]] = -np.inf
+            # stable argsort on pid-ordered columns keeps the exact
+            # (sim desc, pid asc) tie contract the full oracle pins
+            # (argpartition would pick arbitrarily among boundary ties)
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :m]
+            top_pid = pid[top]
+            tsim = np.take_along_axis(sims, top, axis=1)
+            keep = np.isfinite(tsim)
+            cnt = keep.sum(axis=1)
+            outs.append(pd.DataFrame(
+                {
+                    "_qid": np.repeat(qid, cnt),
+                    "_pid": top_pid[keep],
+                    "_sim": tsim[keep],
+                }
+            ))
+        return pd.concat(outs, ignore_index=True)
 
     scored = (
         q.groupBy("_list")

@@ -356,27 +356,33 @@ _ANN_CENTS: dict[int, "np.ndarray"] = {}
 
 def job_ann(spark, n: int) -> int:
     """IVF ANN search at MATERIAL size: n corpus vectors (dim 64, 256
-    deterministic clusters) x n/8 queries, k=5, n_lists=64, nprobe=8.
-    The codebook is trained ONCE per size (index build is an offline step
-    amortized over every search at production scale; deterministic synth +
-    deterministic init make it identical across sessions) — the timed
-    path is assign + probe-explode + per-list BLAS cogroup + bounded rank
-    window, the shape that serves queries at 10^12 rows."""
+    deterministic clusters) x n/40 queries, k=5, n_lists ~ sqrt(n) (the
+    standard IVF sizing — at 2M that is 1024 lists of ~2k vectors),
+    nprobe = ~3% of lists. The codebook is trained ONCE per size (index
+    build is an offline step amortized over every search at production
+    scale; deterministic synth + deterministic init make it identical
+    across sessions) — the timed path is assign + probe-explode +
+    per-list BLAS cogroup + bounded rank window, the shape that serves
+    queries at 10^12 rows. (The first cut used 64 lists at 2M: 31k-vector
+    lists made the cogroup kernel materialize a 31k x 31k sim matrix —
+    the hang that motivated the query-chunk blocking in ann_ivf.py.)"""
     from gis_scripts_spark.operators import ann_ivf
 
+    n_lists = max(64, min(2048, (int(round(n ** 0.5)) // 64) * 64))
+    nprobe = max(8, n_lists // 32)
     corpus = synth_embeddings(spark, n)
-    queries = synth_embeddings(spark, n // 8, seed=17, id_col="vec_id").withColumn(
+    queries = synth_embeddings(spark, n // 40, seed=17, id_col="vec_id").withColumn(
         "vec_id", F.col("vec_id") + F.lit(10_000_000_000)
     )
     cents = _ANN_CENTS.get(n)
     if cents is None:
         cents = ann_ivf.train_ivf(
-            corpus, n_lists=64, n_iters=4,
+            corpus, n_lists=n_lists, n_iters=4,
             sample_fraction=min(1.0, 200_000 / max(n, 1)),
         )
         _ANN_CENTS[n] = cents
     out = ann_ivf.ivf_topk(
-        corpus, k=5, id_col="vec_id", n_lists=64, nprobe=8,
+        corpus, k=5, id_col="vec_id", n_lists=n_lists, nprobe=nprobe,
         centroids=cents, queries_df=queries,
     )
     agg = out.agg(
