@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "tile_assign",
     "pip_pairs",
     "geoparquet_pip",
+    "geojson_pip",
     "pip_counts",
     "grid_agg_mean_of_means",
     "knn_k5",
@@ -139,6 +140,7 @@ def main() -> None:
 
     # fixture setup OUTSIDE any timed path (r4 verdict #5)
     Q.ensure_geoparquet_fixture(spark, sf_dir)
+    Q.ensure_geojson_fixture(spark, sf_dir)
 
     # flagship: spatial-join + tile-assignment throughput
     n_points = Q._pq(spark, sf_dir, "customer").count()

@@ -43,10 +43,126 @@ def audio_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 
 def audio_decode(buf: bytes) -> tuple[np.ndarray, int]:
-    if bytes(buf[:4]) != b"AUD1":
-        raise NotImplementedError("only AUD1 PCM supported in-sandbox (no mp3/ogg codecs)")
+    """Dispatch: real RIFF/WAV (PCM + IEEE float, the web's dominant
+    uncompressed audio container) or the AUD1 test container. Compressed
+    codecs (mp3/ogg/aac) raise — honest sandbox boundary."""
+    magic = bytes(buf[:4])
+    if magic == b"RIFF":
+        return wav_decode(buf)
+    if magic != b"AUD1":
+        raise NotImplementedError(
+            "only WAV (RIFF PCM/float) and AUD1 supported in-sandbox (no mp3/ogg codecs)"
+        )
     sr, n = struct.unpack_from("<II", buf, 4)
     return np.frombuffer(buf, dtype="<i2", count=n, offset=12).astype(np.float64) / 32767.0, sr
+
+
+# ------------------------------------------------------------- WAV (RIFF)
+# From-scratch per the public RIFF/WAVE layout (Microsoft multimedia spec):
+# 'RIFF' size 'WAVE', then chunks; 'fmt ' carries wFormatTag (1=PCM,
+# 3=IEEE float, 0xFFFE=EXTENSIBLE with a SubFormat GUID), 'data' carries
+# interleaved frames. Chunks are word-aligned (odd sizes padded).
+_WAV_PCM, _WAV_FLOAT, _WAV_EXT = 1, 3, 0xFFFE
+# first 4 bytes of the canonical SubFormat GUIDs (rest is the fixed ksmedia
+# base GUID suffix)
+_EXT_GUID_SUFFIX = bytes.fromhex("00001000800000AA00389B71")
+
+
+def wav_encode(
+    samples: np.ndarray, sample_rate: int = 16000, bits: int = 16, float_fmt: bool = False
+) -> bytes:
+    """float samples in [-1,1] (shape (n,) or (n,channels)) -> WAV bytes.
+    bits: 8 (unsigned PCM) / 16 / 24 / 32; float_fmt=True writes IEEE
+    float32 (bits must be 32)."""
+    s = np.asarray(samples, np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    if float_fmt:
+        if bits != 32:
+            raise ValueError("float WAV must be 32-bit")
+        raw = s.astype("<f4").tobytes()
+    elif bits == 8:
+        raw = np.clip(np.rint(s * 127.0) + 128, 0, 255).astype(np.uint8).tobytes()
+    elif bits == 16:
+        raw = np.clip(np.rint(s * 32767.0), -32768, 32767).astype("<i2").tobytes()
+    elif bits == 24:
+        i32 = np.clip(np.rint(s * 8388607.0), -8388608, 8388607).astype("<i4")
+        b4 = i32.reshape(-1).view(np.uint8).reshape(-1, 4)
+        raw = b4[:, :3].tobytes()  # little-endian: low 3 bytes
+    elif bits == 32:
+        i64 = np.clip(np.rint(s * 2147483647.0), -2147483648, 2147483647)
+        raw = i64.astype("<i4").tobytes()
+    else:
+        raise ValueError(f"unsupported bit depth {bits}")
+    block = ch * bits // 8
+    fmt_tag = _WAV_FLOAT if float_fmt else _WAV_PCM
+    fmt = struct.pack("<HHIIHH", fmt_tag, ch, sample_rate, sample_rate * block, block, bits)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(raw)) + raw
+    if len(raw) % 2:
+        chunks += b"\x00"  # RIFF word alignment
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def wav_decode(buf: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (float64 samples in [-1,1], sample_rate). Mono returns
+    shape (n,); multi-channel (n, channels). Walks chunks per the RIFF
+    spec (skips LIST/fact/etc., honors word alignment); supports PCM
+    8/16/24/32, IEEE float32/64, and WAVE_FORMAT_EXTENSIBLE."""
+    if bytes(buf[:4]) != b"RIFF" or bytes(buf[8:12]) != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    off, end = 12, min(len(buf), 8 + struct.unpack_from("<I", buf, 4)[0])
+    fmt = data = None
+    while off + 8 <= end:
+        cid = bytes(buf[off : off + 4])
+        (size,) = struct.unpack_from("<I", buf, off + 4)
+        body = buf[off + 8 : off + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        off += 8 + size + (size % 2)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    tag, ch, sr, _, _, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag == _WAV_EXT:
+        if len(fmt) < 40:
+            raise ValueError("EXTENSIBLE fmt chunk truncated")
+        sub = bytes(fmt[24:40])
+        if sub[4:] != _EXT_GUID_SUFFIX:
+            raise NotImplementedError("unknown EXTENSIBLE SubFormat GUID")
+        # storage layout follows the CONTAINER bits already parsed above
+        # (wValidBitsPerSample <= container bits merely marks padding bits)
+        tag = struct.unpack_from("<I", sub, 0)[0]
+    if tag == _WAV_FLOAT:
+        dt = {32: "<f4", 64: "<f8"}.get(bits)
+        if dt is None:
+            raise ValueError(f"unsupported float bit depth {bits}")
+        s = np.frombuffer(data, dtype=dt).astype(np.float64)
+    elif tag == _WAV_PCM:
+        if bits == 8:
+            s = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 127.0
+        elif bits == 16:
+            s = np.frombuffer(data, "<i2").astype(np.float64) / 32767.0
+        elif bits == 24:
+            b = np.frombuffer(data, np.uint8)
+            b = b[: (len(b) // 3) * 3].reshape(-1, 3)
+            i32 = (
+                b[:, 0].astype(np.int32)
+                | (b[:, 1].astype(np.int32) << 8)
+                | (b[:, 2].astype(np.int8).astype(np.int32) << 16)
+            )
+            s = i32.astype(np.float64) / 8388607.0
+        elif bits == 32:
+            s = np.frombuffer(data, "<i4").astype(np.float64) / 2147483647.0
+        else:
+            raise ValueError(f"unsupported PCM bit depth {bits}")
+    else:
+        raise NotImplementedError(f"WAV format tag {tag} not supported (compressed?)")
+    if ch > 1:
+        s = s[: (len(s) // ch) * ch].reshape(-1, ch)
+    return s, sr
 
 
 def video_encode(frames: list[np.ndarray]) -> bytes:
@@ -177,6 +293,8 @@ def audio_features(df: DataFrame, id_col: str = "clip_id", bytes_col: str = "byt
             rows = []
             for _, row in pdf.iterrows():
                 wave, sr = audio_decode(bytes(row[bytes_col]))
+                if wave.ndim == 2:  # multi-channel WAV: feature over the mixdown
+                    wave = wave.mean(axis=1)
                 zc = float(np.mean(np.abs(np.diff(np.signbit(wave).astype(np.int8))))) if len(wave) > 1 else 0.0
                 rows.append(
                     (row[id_col], len(wave) / sr, float(np.sqrt(np.mean(wave**2))),

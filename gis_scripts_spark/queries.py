@@ -273,6 +273,59 @@ FROM pts JOIN rects
 """
 
 
+def ensure_geojson_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Publish the AOI polygons as newline-delimited GeoJSON (setup step,
+    same atomic staging-dir pattern as the GeoParquet fixture)."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from gis_scripts_spark.sources import geojson as gj
+
+    path = f"/tmp/gjs_aoi_{_hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    if _os.path.isdir(path):
+        return path
+    stage = f"{path}.stage.{_uuid.uuid4().hex}"
+    gj.write_geojson_seq(_aoi_polys_df(spark, sf_dir), stage, geometry_col="wkb")
+    try:
+        _os.rename(stage, path)  # atomic publish; fails if a racer won
+    except OSError:
+        _shutil.rmtree(stage, ignore_errors=True)
+    return path
+
+
+def q_geojson_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIP join whose polygon layer roundtrips through NEWLINE-DELIMITED
+    GEOJSON (`sources/geojson.py`, RFC 7946/8142 — GDAL's GeoJSONSeq, the
+    splittable text form that scans a single 100 GB layer in parallel).
+    The AOI rects are written by the engine's distributed sink (WKB ->
+    feature lines, coordinates in shortest-roundtrip decimal form) and
+    read back through `read_geojson_seq` (spark.read.text + one Arrow
+    parse pass), then PIP-joined against part-derived points. FULL
+    oracle: DuckDB recomputes the identical rects from `nation`, so the
+    hash compare certifies the JSON write->parse roundtrip bit-for-bit."""
+    from gis_scripts_spark.sources import geojson as gj
+
+    path = ensure_geojson_fixture(spark, sf_dir)
+    polys = gj.read_geojson_seq(spark, f"{path}/*.txt").select(
+        gj.property_col("poly_id").alias("poly_id"), "wkb"
+    )
+    pts = derived_lonlat(_pq(spark, sf_dir, "part"), "p_partkey")
+    joined = pip_join.pip_join(pts, polys, z=7)
+    return joined.select("p_partkey", "poly_id")
+
+
+SQL_GEOJSON_PIP = f"""
+WITH pts AS (SELECT p_partkey, {_SQL_LON.format(k='p_partkey')} AS lon,
+                    {_SQL_LAT.format(k='p_partkey')} AS lat FROM part),
+rects AS ({_SQL_NATION_RECTS})
+SELECT p_partkey, poly_id
+FROM pts JOIN rects
+  ON lon > x0 AND lon < x1 AND lat > y0 AND lat < y1
+"""
+
+
 def q_pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIP join + per-polygon rollup (zonal count, Assess_Agreement.R:52-57)."""
     pairs = q_pip_pairs(spark, sf_dir)
@@ -1465,6 +1518,7 @@ QUERIES: dict = {
     "tile_assign": q_tile_assign,
     "pip_pairs": q_pip_pairs,
     "geoparquet_pip": q_geoparquet_pip,
+    "geojson_pip": q_geojson_pip,
     "pip_counts": q_pip_counts,
     "grid_agg_mean_of_means": q_grid_agg,
     "knn_k5": q_knn,
@@ -1511,6 +1565,7 @@ ORACLES: dict[str, str] = {
     "tile_assign": _sql_tile_assign(),
     "pip_pairs": SQL_PIP_PAIRS,
     "geoparquet_pip": SQL_GEOPARQUET_PIP,
+    "geojson_pip": SQL_GEOJSON_PIP,
     "pip_counts": SQL_PIP_COUNTS,
     "grid_agg_mean_of_means": SQL_GRID_AGG,
     "knn_k5": SQL_KNN,
