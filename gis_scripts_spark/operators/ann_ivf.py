@@ -18,12 +18,20 @@ Scale shape (the part that matters at 10^9+ vectors):
   n_lists x dim scalars regardless of input rows; only that codebook-sized
   frame ever reaches the driver.
 - SEARCH ships each corpus vector through exactly ONE Exchange (the
-  ``_list``-keyed cogroup — on a production layout the index table is
-  bucket-written by ``_list`` so even that shuffle disappears), queries
-  replicate nprobe times (a small constant), scoring is one float64 BLAS
-  matmul per list (the cosine_topk kernel shape, blocked by list), and
-  the top-k window runs over (qid, pid, sim) SCALARS — vectors never
-  enter the rank Exchange (plan gate in tests/test_plans.py).
+  ``_list``-keyed group — on a production layout the index table is
+  bucket-written by ``_list`` so even that shuffle disappears). Query
+  batches are small next to the corpus, so by default they are
+  BROADCAST (bounded auto gate): the query matrix plus a CSR inverted
+  probe index ride one broadcast into the per-list Arrow kernel, and
+  NO query bytes enter any Exchange — the cogroup fallback (queries
+  replicated nprobe times through a shuffle) serves query sets too big
+  to broadcast, row-identical by construction. Scoring is one float64
+  BLAS matmul per list (the cosine_topk kernel shape, blocked by list),
+  and the top-k window runs over (qid, pid, sim) SCALARS — vectors
+  never enter the rank Exchange (plan gate in tests/test_plans.py).
+  Coarse quantization (assign + probe selection) scores in float32 —
+  the sim matrix is pure membus traffic and picks only WHICH lists are
+  used; the exact re-rank stays float64.
 - Unlike LSH, lists partition the corpus (each candidate lives in exactly
   one list), so the candidate stream needs no pair-dedup stage at all.
 
@@ -110,30 +118,46 @@ def train_ivf(
 
 def _argmax_list_udf(centroids: np.ndarray):
     """Arrow-batched nearest-centroid assignment (cosine = max dot on the
-    unit sphere; codebook rides the closure -> broadcast once per task)."""
-    cT = np.ascontiguousarray(centroids.T)
+    unit sphere; codebook rides the closure -> broadcast once per task).
+
+    COARSE scoring runs in float32: the sim matrix is the membus cost of
+    the whole index build (batch x n_lists x 8B in float64 — a 2M x 1408
+    assign pushes 22 GB through one memory bus, measured 83 s and
+    anti-scaling at 32 threads; float32 halves the bytes and doubles the
+    BLAS rate). float32 only picks WHICH list a vector lands in / which
+    lists a query probes — the final re-rank stays float64, so result
+    ordering and the DuckDB-oracle tie contract are untouched. np.argmax
+    takes the lowest list id on exact ties: deterministic, row-local,
+    parallelism-independent."""
+    cT = np.ascontiguousarray(centroids.T, dtype=np.float32)
 
     @F.pandas_udf(IntegerType())
     def assign(v: pd.Series) -> pd.Series:
-        m = _unit_rows(np.stack(v.to_numpy()).astype(np.float64))
+        m = _unit_rows(np.stack(v.to_numpy()).astype(np.float64)).astype(np.float32)
         return pd.Series(np.argmax(m @ cT, axis=1).astype(np.int32))
 
     return assign
 
 
+def _probe_rows(raw: np.ndarray, cT32: np.ndarray, k: int) -> np.ndarray:
+    """(n, dim) raw vectors -> (n, k) probed list ids. One shared kernel so
+    the distributed UDF and the driver-side broadcast path compute
+    IDENTICAL probe sets (float32 coarse scoring, stable argsort on
+    (-sim, list_id))."""
+    m = _unit_rows(raw.astype(np.float64)).astype(np.float32)
+    sims = m @ cT32
+    return np.argsort(-sims, axis=1, kind="stable")[:, :k].astype(np.int32)
+
+
 def _probe_lists_udf(centroids: np.ndarray, nprobe: int):
     """Top-``nprobe`` nearest centroid ids per query vector (array<int>)."""
-    cT = np.ascontiguousarray(centroids.T)
+    cT = np.ascontiguousarray(centroids.T, dtype=np.float32)
     k = min(nprobe, cT.shape[1])
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def probes(v: pd.Series) -> pd.Series:
-        m = _unit_rows(np.stack(v.to_numpy()).astype(np.float64))
-        sims = m @ cT
-        # deterministic: argsort on (-sim, list_id); lists are few, a full
-        # sort of n_lists scalars per row is cheap and stable
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
-        return pd.Series(list(order.astype(np.int32)))
+        order = _probe_rows(np.stack(v.to_numpy()), cT, k)
+        return pd.Series(list(order))
 
     return probes
 
@@ -147,6 +171,55 @@ def assign_lists(
     return df.withColumn(out, _argmax_list_udf(centroids)(F.col(vec)))
 
 
+def _chunked_list_topk(
+    q_raw: np.ndarray,
+    qids: np.ndarray,
+    c_raw: np.ndarray,
+    pids: np.ndarray,
+    kk: int,
+    excl: bool,
+) -> pd.DataFrame:
+    """Exact per-list top-k: float64 scoring, (sim desc, pid asc) ties.
+
+    Shared by the broadcast and cogroup kernels so the two plans are
+    row-identical. BLOCKS over queries: the full (nq, nc) sim matrix is
+    O(nq*nc) memory — at 2M vectors / 64 lists a single group would
+    materialize 31k x 31k x 8B = 7.7 GB and stall the executor (measured:
+    the first 2M scaling sweep hung here). Chunks bound the live matrix
+    to ~256 MB; each chunk's top-k is final because rows are independent.
+    Candidates are pid-sorted once, then a STABLE argsort on -sim keeps
+    the exact (sim desc, pid asc) tie contract the full oracle pins
+    (argpartition would pick arbitrarily among boundary ties).
+    """
+    cm = _unit_rows(c_raw.astype(np.float64))
+    order_p = np.argsort(pids, kind="mergesort")
+    cm = cm[order_p]
+    pid = pids[order_p]
+    nc = len(pid)
+    m = min(kk, nc)
+    q_chunk = max(1, int(32_000_000 // max(nc, 1)))
+    outs = []
+    for s in range(0, len(qids), q_chunk):
+        qm = _unit_rows(q_raw[s : s + q_chunk].astype(np.float64))
+        sims = qm @ cm.T  # (chunk, nc)
+        qid = qids[s : s + q_chunk]
+        if excl:
+            sims[qid[:, None] == pid[None, :]] = -np.inf
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :m]
+        top_pid = pid[top]
+        tsim = np.take_along_axis(sims, top, axis=1)
+        keep = np.isfinite(tsim)
+        cnt = keep.sum(axis=1)
+        outs.append(pd.DataFrame(
+            {
+                "_qid": np.repeat(qid, cnt),
+                "_pid": top_pid[keep],
+                "_sim": tsim[keep],
+            }
+        ))
+    return pd.concat(outs, ignore_index=True)
+
+
 def ivf_topk(
     df: DataFrame,
     k: int = 3,
@@ -158,6 +231,9 @@ def ivf_topk(
     queries_df: DataFrame | None = None,
     n_iters: int = 8,
     seed: int = 11,
+    broadcast_queries: bool | str = "auto",
+    max_broadcast_query_rows: int = 300_000,
+    max_broadcast_query_mb: float = 160.0,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF probing; exact when
     ``nprobe >= n_lists`` (every list probed = brute force).
@@ -165,6 +241,11 @@ def ivf_topk(
     Returns (query_id, neighbor_id, rank), rank by (sim desc, neighbor_id)
     — the same deterministic contract as ``cosine_topk``/``lsh_topk``.
     Self-matches are excluded when the corpus serves as its own query set.
+
+    ``broadcast_queries``: True / False / "auto" (bounded count + byte
+    estimate). The broadcast path and the cogroup fallback are
+    row-identical by construction (same raw values, same float64 kernel,
+    same probe sets via the shared float32 ``_probe_rows``).
     """
     if centroids is None:
         centroids = train_ivf(df, n_lists, vec=vec, n_iters=n_iters, seed=seed)
@@ -174,13 +255,54 @@ def ivf_topk(
     base = assign_lists(df, centroids, vec=vec).select(
         F.col(id_col).alias("_pid"), F.col(vec).alias("_pv"), "_list"
     )
-    q = qs.select(
-        F.col(id_col).alias("_qid"),
-        F.col(vec).alias("_qv"),
-        _probe_lists_udf(centroids, nprobe)(F.col(vec)).alias("_probes"),
-    ).select("_qid", "_qv", F.explode("_probes").alias("_list"))
+    return _ivf_search(
+        base, qs, centroids, k, id_col, vec, nprobe, exclude_self,
+        broadcast_queries, max_broadcast_query_rows, max_broadcast_query_mb,
+    )
 
-    # Per-list scoring is ONE float64 BLAS matmul per (list) cogroup — the
+
+def ivf_topk_prebuilt(
+    index_df: DataFrame,
+    k: int,
+    centroids: np.ndarray,
+    queries_df: DataFrame,
+    id_col: str = "vec_id",
+    vec: str = "embedding",
+    list_col: str = "_list",
+    nprobe: int = 2,
+    broadcast_queries: bool | str = "auto",
+    max_broadcast_query_rows: int = 300_000,
+    max_broadcast_query_mb: float = 160.0,
+) -> DataFrame:
+    """Search over a PREBUILT index: ``index_df`` already carries the
+    inverted-list tag from :func:`assign_lists` (the production layout —
+    the index is built once, bucket-written by ``list_col``, and every
+    query batch amortizes it). Same result contract as :func:`ivf_topk`.
+    """
+    base = index_df.select(
+        F.col(id_col).alias("_pid"), F.col(vec).alias("_pv"),
+        F.col(list_col).alias("_list"),
+    )
+    return _ivf_search(
+        base, queries_df, centroids, k, id_col, vec, nprobe, False,
+        broadcast_queries, max_broadcast_query_rows, max_broadcast_query_mb,
+    )
+
+
+def _ivf_search(
+    base: DataFrame,
+    qs: DataFrame,
+    centroids: np.ndarray,
+    k: int,
+    id_col: str,
+    vec: str,
+    nprobe: int,
+    exclude_self: bool,
+    broadcast_queries: bool | str,
+    max_broadcast_query_rows: int,
+    max_broadcast_query_mb: float,
+) -> DataFrame:
+    # Per-list scoring is ONE float64 BLAS matmul per list group — the
     # same blocked-BLAS kernel shape as cosine_topk, blocked by inverted
     # list instead of by hash. (A first cut computed the dot product with
     # zip_with/aggregate Column expressions on the joined pairs: the
@@ -191,7 +313,7 @@ def ivf_topk(
     # so the rank window's input is bounded at nprobe*k rows/query and its
     # Exchange carries (qid, pid, sim) scalars only.
     qid_type = qs.schema[id_col].dataType
-    pid_type = df.schema[id_col].dataType
+    pid_type = base.schema["_pid"].dataType
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     part_schema = StructType(
@@ -203,56 +325,80 @@ def ivf_topk(
     )
     kk = int(k)
     excl = bool(exclude_self)
+    p = min(nprobe, len(centroids))
+    cT32 = np.ascontiguousarray(centroids.T, dtype=np.float32)
 
-    def list_topk(qdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
-        if len(qdf) == 0 or len(cdf) == 0:
-            return pd.DataFrame({"_qid": [], "_pid": [], "_sim": []})
-        qm = _unit_rows(np.stack(qdf["_qv"].to_numpy()).astype(np.float64))
-        cm = _unit_rows(np.stack(cdf["_pv"].to_numpy()).astype(np.float64))
-        qid_all = qdf["_qid"].to_numpy()
-        pid = cdf["_pid"].to_numpy()
-        # stable (sim desc, pid asc) tie-break: sort candidate columns by
-        # pid once, then stable argsort on -sim
-        order_p = np.argsort(pid, kind="mergesort")
-        cm = cm[order_p]
-        pid = pid[order_p]
-        nc = len(pid)
-        m = min(kk, nc)
-        # BLOCK over queries: the full (nq, nc) sim matrix is O(nq*nc)
-        # memory — at 2M vectors / 64 lists a single cogroup would
-        # materialize 31k x 31k x 8B = 7.7 GB and stall the executor
-        # (measured: the 2M scaling sweep hung here). Chunks bound the
-        # live matrix to ~256 MB; each chunk's top-k is final because
-        # rows are independent.
-        q_chunk = max(1, int(32_000_000 // max(nc, 1)))
-        outs = []
-        for s in range(0, len(qid_all), q_chunk):
-            sims = qm[s : s + q_chunk] @ cm.T  # (chunk, nc)
-            qid = qid_all[s : s + q_chunk]
-            if excl:
-                sims[qid[:, None] == pid[None, :]] = -np.inf
-            # stable argsort on pid-ordered columns keeps the exact
-            # (sim desc, pid asc) tie contract the full oracle pins
-            # (argpartition would pick arbitrarily among boundary ties)
-            top = np.argsort(-sims, axis=1, kind="stable")[:, :m]
-            top_pid = pid[top]
-            tsim = np.take_along_axis(sims, top, axis=1)
-            keep = np.isfinite(tsim)
-            cnt = keep.sum(axis=1)
-            outs.append(pd.DataFrame(
-                {
-                    "_qid": np.repeat(qid, cnt),
-                    "_pid": top_pid[keep],
-                    "_sim": tsim[keep],
-                }
-            ))
-        return pd.concat(outs, ignore_index=True)
+    # ---- query-side strategy gate (pip_join-style bounded auto) --------
+    # Query batches are usually tiny next to the corpus (50k queries x
+    # dim 64 = 13 MB vs a multi-GB index). Broadcasting them deletes the
+    # probe-explode Exchange AND the query-vector shuffle entirely: the
+    # search plan becomes corpus scan -> ONE Exchange (groupBy _list;
+    # zero with a bucket-written index) -> Arrow kernel -> scalar rank
+    # window. Measured at 2M x 50k / 1408 lists: the cogroup path's
+    # query side alone shuffled ~650 MB of replicated vectors. The
+    # cogroup path remains for query sets too big to broadcast.
+    use_broadcast = broadcast_queries
+    if use_broadcast == "auto":
+        n_q = qs.count()
+        est_mb = n_q * len(centroids[0]) * 8 / 1e6
+        use_broadcast = (
+            n_q <= max_broadcast_query_rows and est_mb <= max_broadcast_query_mb
+        )
 
-    scored = (
-        q.groupBy("_list")
-        .cogroup(base.groupBy("_list"))
-        .applyInPandas(list_topk, part_schema)
-    )
+    if use_broadcast:
+        qpdf = qs.select(F.col(id_col).alias("_qid"), F.col(vec).alias("_qv")).toPandas()
+        # keep RAW values at native dtype: the kernel normalizes in
+        # float64 from the same raw values the cogroup path sees, so the
+        # two paths are bit-identical row for row
+        q_raw = np.stack(qpdf["_qv"].to_numpy())
+        qids_all = qpdf["_qid"].to_numpy()
+        probes = _probe_rows(q_raw, cT32, p)  # (nq, p) — same kernel as the UDF
+        # CSR inverted probe index: list -> query row indices
+        flat = probes.ravel()
+        order = np.argsort(flat, kind="stable")
+        inv_idx = np.repeat(np.arange(len(qids_all), dtype=np.int64), p)[order]
+        inv_start = np.searchsorted(flat[order], np.arange(len(centroids) + 1))
+        bc = base.sparkSession.sparkContext.broadcast(
+            (qids_all, q_raw, inv_idx, inv_start)
+        )
+
+        def list_topk_b(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) == 0:
+                return pd.DataFrame({"_qid": [], "_pid": [], "_sim": []})
+            qids_b, q_raw_b, inv_idx_b, inv_start_b = bc.value
+            lst = int(pdf["_list"].iloc[0])
+            s, e = int(inv_start_b[lst]), int(inv_start_b[lst + 1])
+            if e <= s:
+                return pd.DataFrame({"_qid": [], "_pid": [], "_sim": []})
+            qsel = inv_idx_b[s:e]
+            return _chunked_list_topk(
+                q_raw_b[qsel], qids_b[qsel],
+                np.stack(pdf["_pv"].to_numpy()), pdf["_pid"].to_numpy(),
+                kk, excl,
+            )
+
+        scored = base.groupBy("_list").applyInPandas(list_topk_b, part_schema)
+    else:
+        q = qs.select(
+            F.col(id_col).alias("_qid"),
+            F.col(vec).alias("_qv"),
+            _probe_lists_udf(centroids, nprobe)(F.col(vec)).alias("_probes"),
+        ).select("_qid", "_qv", F.explode("_probes").alias("_list"))
+
+        def list_topk(qdf: pd.DataFrame, cdf: pd.DataFrame) -> pd.DataFrame:
+            if len(qdf) == 0 or len(cdf) == 0:
+                return pd.DataFrame({"_qid": [], "_pid": [], "_sim": []})
+            return _chunked_list_topk(
+                np.stack(qdf["_qv"].to_numpy()), qdf["_qid"].to_numpy(),
+                np.stack(cdf["_pv"].to_numpy()), cdf["_pid"].to_numpy(),
+                kk, excl,
+            )
+
+        scored = (
+            q.groupBy("_list")
+            .cogroup(base.groupBy("_list"))
+            .applyInPandas(list_topk, part_schema)
+        )
     w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.asc("_pid"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

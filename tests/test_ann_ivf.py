@@ -173,3 +173,82 @@ def test_ivf_empty_list_degeneracy(spark, n_lists):
     assert got[["query_id", "neighbor_id"]].astype(np.int64).equals(
         want[["query_id", "neighbor_id"]].astype(np.int64)
     )
+
+
+def test_ivf_broadcast_equals_cogroup_rows(spark):
+    """The broadcast-queries path and the cogroup fallback must be
+    row-identical (same raw values, same float64 kernel, same float32
+    probe sets via the shared _probe_rows)."""
+    corpus = spark.createDataFrame(_blobs(n_blobs=5, per=40, dim=10, seed=3))
+    queries = spark.createDataFrame(
+        _blobs(n_blobs=5, per=9, dim=10, seed=77).assign(
+            vec_id=lambda d: d["vec_id"] + 10_000
+        )
+    )
+    cents = ann_ivf.train_ivf(corpus, n_lists=5, n_iters=3)
+    kw = dict(k=4, n_lists=5, nprobe=2, centroids=cents, queries_df=queries)
+    a = (
+        ann_ivf.ivf_topk(corpus, broadcast_queries=True, **kw)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        ann_ivf.ivf_topk(corpus, broadcast_queries=False, **kw)
+        .toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert len(a) == queries.count() * 4
+
+
+def test_ivf_broadcast_no_query_bytes_in_any_exchange(spark):
+    """Broadcast path: query vectors ride the task broadcast, NEVER an
+    Exchange; corpus vectors cross only the _list-keyed group Exchange."""
+    import contextlib
+    import io
+
+    corpus = spark.createDataFrame(_blobs(n_blobs=3, per=30, dim=8, seed=9))
+    queries = spark.createDataFrame(
+        _blobs(n_blobs=3, per=5, dim=8, seed=10).assign(
+            vec_id=lambda d: d["vec_id"] + 5_000
+        )
+    )
+    cents = ann_ivf.train_ivf(corpus, n_lists=3, n_iters=2)
+    out = ann_ivf.ivf_topk(
+        corpus, k=2, n_lists=3, nprobe=2, centroids=cents,
+        queries_df=queries, broadcast_queries=True,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    blocks = re.findall(r"\(\d+\) (?:Broadcast)?Exchange[^\n]*\nInput[^\n]*", plan)
+    assert blocks, plan[:500]
+    for b in blocks:
+        assert "_qv" not in b, b  # query vectors never shuffle
+        if "_pv" in b or "embedding" in b:
+            assert "_list" in b, b  # corpus vectors only via the list key
+
+
+def test_ivf_prebuilt_index_equals_inline(spark, tmp_path):
+    """Search over a prebuilt (assigned, parquet-landed) index returns the
+    same rows as the inline assign path — the production serving split."""
+    corpus = spark.createDataFrame(_blobs(n_blobs=4, per=30, dim=8, seed=21))
+    queries = spark.createDataFrame(
+        _blobs(n_blobs=4, per=6, dim=8, seed=22).assign(
+            vec_id=lambda d: d["vec_id"] + 7_000
+        )
+    )
+    cents = ann_ivf.train_ivf(corpus, n_lists=4, n_iters=3)
+    path = str(tmp_path / "index.parquet")
+    ann_ivf.assign_lists(corpus, cents).write.parquet(path)
+    a = (
+        ann_ivf.ivf_topk_prebuilt(
+            spark.read.parquet(path), k=3, centroids=cents,
+            queries_df=queries, nprobe=2,
+        ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        ann_ivf.ivf_topk(
+            corpus, k=3, n_lists=4, nprobe=2, centroids=cents, queries_df=queries,
+        ).toPandas().sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+    assert a.equals(b)

@@ -354,35 +354,76 @@ def synth_embeddings(spark, n: int, seed: int = 5, id_col: str = "vec_id",
 _ANN_CENTS: dict[int, "np.ndarray"] = {}
 
 
-def job_ann(spark, n: int) -> int:
-    """IVF ANN search at MATERIAL size: n corpus vectors (dim 64, 256
-    deterministic clusters) x n/40 queries, k=5, n_lists ~ sqrt(n) (the
-    standard IVF sizing — at 2M that is 1024 lists of ~2k vectors),
-    nprobe = ~3% of lists. The codebook is trained ONCE per size (index
-    build is an offline step amortized over every search at production
-    scale; deterministic synth + deterministic init make it identical
-    across sessions) — the timed path is assign + probe-explode +
-    per-list BLAS cogroup + bounded rank window, the shape that serves
-    queries at 10^12 rows. (The first cut used 64 lists at 2M: 31k-vector
-    lists made the cogroup kernel materialize a 31k x 31k sim matrix —
-    the hang that motivated the query-chunk blocking in ann_ivf.py.)"""
+def _ann_layout(n: int) -> tuple[int, int]:
+    n_lists = max(64, min(2048, (int(round(n ** 0.5)) // 64) * 64))
+    return n_lists, max(8, n_lists // 32)
+
+
+def _ann_centroids(spark, n: int):
+    """Codebook trained ONCE per size (offline index step; deterministic
+    synth + deterministic init make it identical across sessions)."""
     from gis_scripts_spark.operators import ann_ivf
 
-    n_lists = max(64, min(2048, (int(round(n ** 0.5)) // 64) * 64))
-    nprobe = max(8, n_lists // 32)
-    corpus = synth_embeddings(spark, n)
-    queries = synth_embeddings(spark, n // 40, seed=17, id_col="vec_id").withColumn(
-        "vec_id", F.col("vec_id") + F.lit(10_000_000_000)
-    )
     cents = _ANN_CENTS.get(n)
     if cents is None:
+        n_lists, _ = _ann_layout(n)
         cents = ann_ivf.train_ivf(
-            corpus, n_lists=n_lists, n_iters=4,
+            synth_embeddings(spark, n), n_lists=n_lists, n_iters=4,
             sample_fraction=min(1.0, 200_000 / max(n, 1)),
         )
         _ANN_CENTS[n] = cents
-    out = ann_ivf.ivf_topk(
-        corpus, k=5, id_col="vec_id", n_lists=n_lists, nprobe=nprobe,
+    return cents
+
+
+def _ann_index_path(n: int) -> str:
+    return f"/tmp/ann_index_{n}.parquet"
+
+
+def job_ann_build(spark, n: int) -> int:
+    """IVF INDEX BUILD at material size: assign every corpus vector to its
+    inverted list (float32 argmax against the broadcast codebook — one
+    Arrow pass, NO shuffle: scan -> ArrowEvalPython -> parquet write,
+    the same plan at any executor count) and land the list-tagged index
+    as parquet. This is the offline half of ANN serving; at production
+    scale it is bucket-written by _list so searches join shuffle-free."""
+    from gis_scripts_spark.operators import ann_ivf
+
+    cents = _ann_centroids(spark, n)
+    corpus = synth_embeddings(spark, n)
+    idx = ann_ivf.assign_lists(corpus, cents)
+    idx.write.mode("overwrite").parquet(_ann_index_path(n))
+    return n
+
+
+def job_ann(spark, n: int) -> int:
+    """IVF ANN SEARCH at material size: n-row prebuilt index (dim 64, 256
+    deterministic clusters; n_lists ~ sqrt(n), the standard IVF sizing)
+    x n/40 queries, k=5, nprobe ~3% of lists. The index (codebook +
+    list-tagged corpus parquet) is built ONCE per size by job_ann_build
+    — searches amortize it, exactly the production serving shape — so
+    the timed path is what runs per query batch at 10^12 rows: index
+    scan -> ONE _list Exchange -> broadcast-query Arrow kernel ->
+    scalar rank window. (History: the first cut timed assign+search
+    together through the cogroup path and ANTI-scaled 0.18 at 4x cores —
+    the assign's float64 sim matrix alone pushed 22 GB/run through the
+    membus, and the cogroup shuffled ~650 MB of nprobe-replicated query
+    vectors; the float32 coarse scoring + broadcast-queries redesign in
+    ann_ivf.py and this build/search split came out of that stage dump,
+    tools/diag_ann.py.)"""
+    import os as _os
+
+    from gis_scripts_spark.operators import ann_ivf
+
+    n_lists, nprobe = _ann_layout(n)
+    cents = _ann_centroids(spark, n)
+    if not _os.path.exists(_ann_index_path(n) + "/_SUCCESS"):
+        job_ann_build(spark, n)
+    index = spark.read.parquet(_ann_index_path(n))
+    queries = synth_embeddings(spark, n // 40, seed=17, id_col="vec_id").withColumn(
+        "vec_id", F.col("vec_id") + F.lit(10_000_000_000)
+    )
+    out = ann_ivf.ivf_topk_prebuilt(
+        index, k=5, id_col="vec_id", nprobe=nprobe,
         centroids=cents, queries_df=queries,
     )
     agg = out.agg(
@@ -629,7 +670,10 @@ def main() -> None:
         ("knn", job_knn, args.knn, 32768),
         # host ceiling for the kNN round-1 shuffle+rank shape (no kNN code)
         ("rank_shuffle", job_rank_shuffle, args.knn, 32768),
-        # IVF ANN search at material size (codebook trained once, untimed)
+        # IVF ANN: index build (assign + parquet land, no shuffle) and the
+        # per-query-batch search over the prebuilt index (the production
+        # serving split; codebook trained once, untimed)
+        ("ann_build", job_ann_build, args.ann, 16384),
         ("ann", job_ann, args.ann, 16384),
     ):
         if name not in wanted:
