@@ -175,12 +175,29 @@ def video_encode(frames: list[np.ndarray]) -> bytes:
 
 
 def video_frame_count(buf: bytes) -> int:
+    if bytes(buf[:4]) == b"GIF8":  # animated GIF: structural walk, no decode
+        from gis_scripts_spark.raster.gif import gif_frame_count
+
+        return gif_frame_count(bytes(buf))
     if bytes(buf[:4]) != b"VID1":
-        raise NotImplementedError("only VID1 supported in-sandbox (no h264/vp9 codecs)")
+        raise NotImplementedError(
+            "only VID1 and animated GIF supported in-sandbox (no h264/vp9 codecs)"
+        )
     return struct.unpack_from("<I", buf, 4)[0]
 
 
 def video_iter_frames(buf: bytes):
+    """(frame_idx, encoded frame bytes) per frame. VID1 yields the stored
+    QNT payloads verbatim; animated GIF yields each disposal-composited
+    canvas re-encoded as lossless PNG (a composited canvas can exceed 256
+    colors, so GIF re-encode is not always possible). Either way the
+    yielded bytes decode with codec.decode (magic sniff)."""
+    if bytes(buf[:4]) == b"GIF8":
+        from gis_scripts_spark.raster.gif import gif_decode_frames
+
+        for i, frame in enumerate(gif_decode_frames(bytes(buf))):
+            yield i, codec.png_encode(frame)
+        return
     n = video_frame_count(buf)
     off = 8
     for i in range(n):

@@ -1286,7 +1286,8 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n = 600 if "0.01" in sf_dir else 200
     images = synth.images_df(
-        spark, n, seed=42, dup_every=5, fmts=("png", "qnt", "jpeg", "jpegp")
+        spark, n, seed=42, dup_every=5,
+        fmts=("png", "qnt", "jpeg", "jpegp", "gif", "bmp"),
     )
     return multimodal.phash_neardup_pairs(images, max_hamming=10)
 

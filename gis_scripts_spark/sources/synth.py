@@ -57,6 +57,22 @@ def _seed_for(image_id: str) -> int:
     return int.from_bytes(hashlib.blake2b(image_id.encode(), digest_size=8).digest(), "big")
 
 
+def _fit_for_fmt(img, fmt: str):
+    """GIF's exact-palette encoder needs <=256 distinct colors, so 3-band
+    scenes headed for fmt='gif' are stored as their 8-bit grayscale (a
+    256-entry palette): lossless in the palette domain, and
+    pHash-preserving by construction — codec.phash64 grayscales via the
+    SAME channel mean, so the planted-near-dup guarantee survives the
+    GIF re-post leg exactly like the other codecs. (A uniform
+    6-level/channel RGB quantization was tried first and pushed 5% of
+    planted pairs past hamming 10 — a real GIF re-poster would use an
+    adaptive palette, which uniform levels badly understate.) Other
+    codecs take pixels as-is."""
+    if fmt == "gif" and img.ndim == 3 and img.shape[2] == 3:
+        return np.rint(img.astype(np.float64).mean(axis=2)).astype(np.uint8)[:, :, None]
+    return img
+
+
 def make_image_row(
     i: int, seed: int = 42, sizes: tuple = _SIZES, fmts: tuple = ("png", "qnt"),
     dup_every: int | None = None,
@@ -82,6 +98,7 @@ def make_image_row(
         img = np.clip(np.rint(img.astype(np.float64) * 1.02 + 2.0), 0, 255).astype(np.uint8)
         rng = np.random.default_rng(_seed_for(f"{seed}:dup:img_{i:08d}"))
         fmt = str(fmts[int(rng.random() * len(fmts))]) if len(fmts) > 1 else str(fmts[0])
+        img = _fit_for_fmt(img, fmt)
         buf = codec.encode(img, fmt)
         decoded = codec.decode(buf, fmt)
         return {
@@ -113,6 +130,7 @@ def make_image_row(
     img = np.clip(
         base[:, :, None] + rng.normal(0, 18, (h, w, bands)), 0, 255
     ).astype(np.uint8)
+    img = _fit_for_fmt(img, fmt)
     # 20% of rows in hot-spot clusters (skew), 80% uniform
     if rng.random() < 0.2:
         cx, cy, s = HOTSPOTS[int(rng.integers(0, len(HOTSPOTS)))]

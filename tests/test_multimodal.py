@@ -171,101 +171,6 @@ def test_wav_decode_stereo_hand_built():
     assert np.allclose(s[:, 1] * 32767.0, [-10, -20, -30])
 
 
-@pytest.mark.parametrize("bits,float_fmt", [(8, False), (16, False), (24, False), (32, False), (32, True)])
-def test_wav_roundtrip_depths(bits, float_fmt):
-    rng = np.random.default_rng(bits)
-    wave = np.clip(rng.normal(0, 0.3, 240), -1, 1)
-    buf = mm.wav_encode(wave, 16000, bits=bits, float_fmt=float_fmt)
-    dec, sr = mm.wav_decode(buf)
-    assert sr == 16000 and len(dec) == 240
-    tol = {8: 1 / 127.0, 16: 1 / 32767.0, 24: 1 / 8388607.0, 32: 1e-6}[bits]
-    if float_fmt:
-        tol = 1e-6
-    assert np.max(np.abs(dec - wave)) <= tol
-
-
-def test_wav_extensible_format_tag():
-    """WAVE_FORMAT_EXTENSIBLE wrapping PCM16 decodes like plain PCM16."""
-    import struct as st
-
-    i16 = np.array([100, -200, 300], "<i2")
-    raw = i16.tobytes()
-    sub = st.pack("<I", 1) + bytes.fromhex("00001000800000AA00389B71")
-    fmt = st.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16) + st.pack("<HHI", 22, 16, 0x4)[:2+2] + sub
-    # cbSize=22, wValidBits=16, channel mask (4B) then GUID
-    fmt = st.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16) + st.pack("<HHI", 22, 16, 0x4) + sub
-    body = b"fmt " + st.pack("<I", len(fmt)) + fmt
-    body += b"data" + st.pack("<I", len(raw)) + raw
-    buf = b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
-    s, sr = mm.wav_decode(buf)
-    assert np.allclose(s * 32767.0, i16)
-
-
-def test_wav_compressed_tag_raises():
-    import struct as st
-
-    fmt = st.pack("<HHIIHH", 85, 1, 8000, 8000, 1, 0)  # 85 = MP3
-    body = b"fmt " + st.pack("<I", 16) + fmt + b"data" + st.pack("<I", 0)
-    buf = b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
-    with pytest.raises(NotImplementedError, match="format tag"):
-        mm.wav_decode(buf)
-
-
-def test_audio_features_over_wav_bytes(spark):
-    """The Spark features path accepts real WAV rows (mono + stereo mixed)."""
-    sr = 8000
-    t = np.arange(sr) / sr
-    mono = 0.5 * np.sin(2 * np.pi * 440 * t)
-    stereo = np.stack([mono, -mono], axis=1)  # mixdown cancels to ~0
-    pdf = pd.DataFrame(
-        {
-            "clip_id": ["m", "s"],
-            "bytes": [bytearray(mm.wav_encode(mono, sr)), bytearray(mm.wav_encode(stereo, sr))],
-        }
-    )
-    out = mm.audio_features(spark.createDataFrame(pdf)).toPandas().set_index("clip_id")
-    assert abs(out.loc["m", "duration_sec"] - 1.0) < 1e-9
-    assert abs(out.loc["m", "rms"] - 0.5 / np.sqrt(2)) < 1e-3
-    assert out.loc["s", "rms"] < 1e-4  # anti-phase mixdown
-
-
-# ------------------------------------------------------------------ WAV
-def _hand_wav_16(samples_i16, sr, ch=1, extra_chunk=True):
-    """Hand-packed per the RIFF spec, independent of wav_encode: optional
-    LIST chunk before fmt, word-aligned odd-size chunk in the middle."""
-    import struct as st
-
-    raw = np.asarray(samples_i16, "<i2").tobytes()
-    body = b""
-    if extra_chunk:
-        body += b"LIST" + st.pack("<I", 5) + b"INFOx" + b"\x00"  # odd size + pad
-    body += b"fmt " + st.pack("<I", 16) + st.pack(
-        "<HHIIHH", 1, ch, sr, sr * 2 * ch, 2 * ch, 16
-    )
-    body += b"data" + st.pack("<I", len(raw)) + raw
-    return b"RIFF" + st.pack("<I", 4 + len(body)) + b"WAVE" + body
-
-
-def test_wav_decode_hand_built_spec_fixture():
-    i16 = [0, 16384, -16384, 32767, -32768, 100]
-    buf = _hand_wav_16(i16, 8000)
-    s, sr = mm.wav_decode(buf)
-    assert sr == 8000
-    assert np.allclose(s * 32767.0, i16, atol=1e-9)
-    # through the dispatcher too
-    s2, _ = mm.audio_decode(buf)
-    assert np.array_equal(s, s2)
-
-
-def test_wav_decode_stereo_hand_built():
-    inter = [10, -10, 20, -20, 30, -30]  # L,R interleaved
-    buf = _hand_wav_16(inter, 44100, ch=2)
-    s, sr = mm.wav_decode(buf)
-    assert s.shape == (3, 2)
-    assert np.allclose(s[:, 0] * 32767.0, [10, 20, 30])
-    assert np.allclose(s[:, 1] * 32767.0, [-10, -20, -30])
-
-
 @pytest.mark.parametrize(
     "bits,float_fmt", [(8, False), (16, False), (24, False), (32, False), (32, True)]
 )
@@ -321,3 +226,42 @@ def test_audio_features_over_wav_bytes(spark):
     assert abs(out.loc["m", "duration_sec"] - 1.0) < 1e-9
     assert abs(out.loc["m", "rms"] - 0.5 / np.sqrt(2)) < 1e-3
     assert out.loc["s", "rms"] < 1e-4  # anti-phase mixdown
+
+
+# ----------------------------------------------------------- animated GIF
+def test_animated_gif_frame_sampling(spark):
+    """sample_frames over a REAL animation container: an animated GIF's
+    disposal-composited frames come out as lossless PNG bytes that decode
+    bit-exactly to the source frames."""
+    from gis_scripts_spark.raster.gif import gif_encode_frames
+
+    rng = np.random.default_rng(6)
+    pal = rng.integers(0, 255, (16, 3)).astype(np.uint8)
+    frames = [pal[rng.integers(0, 16, (12, 18))] for _ in range(5)]
+    buf = gif_encode_frames(frames, delay_cs=3)
+    assert mm.video_frame_count(buf) == 5  # structural walk, no LZW decode
+    pdf = pd.DataFrame({"video_id": ["g0"], "bytes": [bytearray(buf)]})
+    out = mm.sample_frames(spark.createDataFrame(pdf), every_k=2).toPandas()
+    assert out["frame_idx"].tolist() == [0, 2, 4]
+    for _, r in out.iterrows():
+        got = codec.decode(bytes(r["frame_bytes"]))  # sniffs PNG
+        assert np.array_equal(got, frames[int(r["frame_idx"])])
+
+
+def test_images_df_full_codec_mix(spark):
+    """input_hint rows in every implemented codec (incl. gif/bmp) decode,
+    match their metadata, and keep the planted-dup guarantee."""
+    df = synth.images_df(
+        spark, 60, parts=4, dup_every=5,
+        fmts=("png", "qnt", "jpeg", "jpegp", "gif", "bmp"),
+    )
+    pdf = df.toPandas()
+    assert set(pdf["fmt"]) == {"png", "qnt", "jpeg", "jpegp", "gif", "bmp"}
+    for _, r in pdf.iterrows():
+        img = codec.decode(bytes(r["bytes"]), r["fmt"])
+        assert img.shape[:2] == (r["h"], r["w"])
+        assert codec.phash64(img) == r["phash"]
+    got = mm.phash_neardup_pairs(df, max_hamming=10).toPandas()
+    pairs = {(a, b) for a, b in got[["id_a", "id_b"]].itertuples(index=False)}
+    planted = {(f"img_{i-1:08d}", f"img_{i:08d}") for i in range(1, 60) if i % 5 == 1}
+    assert planted <= pairs
