@@ -142,12 +142,19 @@ def main() -> None:
     Q.ensure_geoparquet_fixture(spark, sf_dir)
     Q.ensure_geojson_fixture(spark, sf_dir)
 
+    # optional pinned-A/B subset: comma-separated query names
+    only = {s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s}
+
     # flagship: spatial-join + tile-assignment throughput
     n_points = Q._pq(spark, sf_dir, "customer").count()
-    flagship_sec = timed("flagship_pip_tile", lambda: flagship_pipeline(spark, sf_dir))
-    timings["flagship_pip_tile"] = round(flagship_sec, 3)
+    flagship_sec = float("nan")
+    if not only or "flagship_pip_tile" in only:
+        flagship_sec = timed("flagship_pip_tile", lambda: flagship_pipeline(spark, sf_dir))
+        timings["flagship_pip_tile"] = round(flagship_sec, 3)
 
     for name in BENCH_QUERIES:
+        if only and name not in only:
+            continue
         fn = Q.QUERIES[name]
         timings[name] = round(timed(name, lambda: fn(spark, sf_dir)), 3)
 
@@ -160,7 +167,9 @@ def main() -> None:
         "sf": sf,
         "cores": cores,
         # north-rule headline: spatial-join + tile-assignment throughput
-        "flagship_rows_per_sec": round(n_points / flagship_sec, 1),
+        "flagship_rows_per_sec": (
+            round(n_points / flagship_sec, 1) if flagship_sec == flagship_sec else None
+        ),
         "flagship_rows": n_points,
         # hygiene markers: per-query max/min across the K timed runs, and
         # the 1-min loadavg before/after (host-phase indicator)
