@@ -1043,3 +1043,225 @@ def tiff_encode(
             ifd += struct.pack("<HHI", tag, typ, cnt) + inl
         ifd += struct.pack("<I", 0)
     return head + ifd + bytes(overflow2) + b"".join(strips)
+
+
+TAG_NEW_SUBFILE_TYPE = 254  # bit 0 = reduced-resolution (overview) image
+
+
+def _halve_average(img: np.ndarray) -> np.ndarray:
+    """One 2x overview step, GDAL-'average' style: each output pixel is
+    the mean of its up-to-2x2 source block (edge blocks average only the
+    pixels that exist). Integer dtypes round-half-away like GDAL; floats
+    stay exact."""
+    h, w, s = img.shape
+    H, W = (h + 1) // 2, (w + 1) // 2
+    acc = np.zeros((H, W, s), np.float64)
+    cnt = np.zeros((H, W, 1), np.float64)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            sub = img[dy::2, dx::2]
+            acc[: sub.shape[0], : sub.shape[1]] += sub
+            cnt[: sub.shape[0], : sub.shape[1]] += 1.0
+    out = acc / cnt
+    if img.dtype.kind in "ui":
+        return np.floor(out + 0.5).astype(img.dtype)
+    return out.astype(img.dtype)
+
+
+def cog_encode(
+    img: np.ndarray,
+    tile: int = 256,
+    compress: bool | str = True,
+    predictor: int = 1,
+    pixel_scale: tuple | None = None,
+    tiepoint: tuple | None = None,
+    nodata: float | None = None,
+) -> bytes:
+    """Cloud-Optimized GeoTIFF writer: TILED layout (tags 322-325, edge
+    tiles zero-padded to the full tile per TIFF 6.0 §15), an overview
+    pyramid of 2x 'average'-resampled reduced-resolution IFDs
+    (NewSubfileType=1) chained until the level fits one tile, and the COG
+    byte layout — the whole IFD chain at the head of the file, tile data
+    after it with the SMALLEST overview first — so a range-reader gets
+    every header in one initial fetch and previews from the shallowest
+    bytes. Per-level ModelPixelScale doubles; the tiepoint (origin) is
+    shared. Readable by this module's own tiff_decode(level=...) /
+    tiff_decode_window / tiff_levels (and by the standard tag set, any
+    TIFF reader). Compression: deflate/lzw/packbits/none; predictor 2
+    (integer) / 3 (float byte-shuffle) as in tiff_encode.
+
+    Scale note: at 10^12-image scale the engine stores imagery as rows in
+    parquet/snaptable tables; cog_encode is the EXPORT path (mosaic/warp
+    results leaving the engine for GDAL-ecosystem consumers), run
+    per-output-raster inside mapInPandas — one image per call, no driver
+    bytes."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, spp = img.shape
+    dt = img.dtype
+    if dt.kind not in "uif":
+        raise ValueError(f"unsupported dtype {dt}")
+    if compress not in _COMP_CODES or _COMP_CODES[compress] == 7:
+        raise ValueError("cog_encode supports deflate/lzw/packbits/none")
+    comp_code = _COMP_CODES[compress]
+    if predictor not in (1, 2, 3):
+        raise ValueError("predictor must be 1, 2 or 3")
+    if predictor == 2 and dt.kind == "f":
+        raise ValueError("predictor 2 applies to integer samples only")
+    if predictor == 3 and dt.kind != "f":
+        raise ValueError("predictor 3 applies to floating-point samples only")
+    if tile % 16 != 0:
+        raise ValueError("TIFF tile dimensions must be multiples of 16")
+    fmt = {"u": 1, "i": 2, "f": 3}[dt.kind]
+    bits = dt.itemsize * 8
+
+    # ----- pyramid: level 0 full res, halve until it fits in one tile
+    levels = [img]
+    while max(levels[-1].shape[0], levels[-1].shape[1]) > tile:
+        levels.append(_halve_average(levels[-1]))
+
+    def pack(raw: bytes) -> bytes:
+        if comp_code == 8:
+            return zlib.compress(raw, 6)
+        if comp_code == 5:
+            return lzw_encode(raw)
+        if comp_code == 32773:
+            return packbits_encode(raw)
+        return raw
+
+    def tiles_of(lv: np.ndarray) -> list[bytes]:
+        lh, lw, _ = lv.shape
+        le = lv.astype(dt.newbyteorder("<"))
+        out = []
+        for y0 in range(0, lh, tile):
+            for x0 in range(0, lw, tile):
+                blk = np.zeros((tile, tile, spp), le.dtype)
+                sub = le[y0 : y0 + tile, x0 : x0 + tile]
+                blk[: sub.shape[0], : sub.shape[1]] = sub
+                if predictor == 2:
+                    d = blk.astype(np.int64)
+                    d[:, 1:] -= blk[:, :-1].astype(np.int64)
+                    raw = d.astype(le.dtype).tobytes()
+                elif predictor == 3:
+                    be = blk.astype(dt.newbyteorder(">"))
+                    rows = np.frombuffer(be.tobytes(), np.uint8).reshape(
+                        tile, tile * spp * dt.itemsize
+                    )
+                    raw = _fp3_encode_rows(rows, dt.itemsize, spp).tobytes()
+                else:
+                    raw = blk.tobytes()
+                out.append(pack(raw))
+        return out
+
+    level_tiles = [tiles_of(lv) for lv in levels]
+
+    def entries_for(li: int) -> list[tuple[int, int, int, object]]:
+        lv = levels[li]
+        lh, lw, _ = lv.shape
+        n = len(level_tiles[li])
+        ents: list[tuple[int, int, int, object]] = [
+            (TAG_WIDTH, 4, 1, lw),
+            (TAG_HEIGHT, 4, 1, lh),
+            (TAG_BITS, 3, spp, [bits] * spp),
+            (TAG_COMPRESSION, 3, 1, comp_code),
+            (TAG_PHOTOMETRIC, 3, 1, 1),
+            (TAG_SAMPLES_PER_PIXEL, 3, 1, spp),
+            (TAG_PLANAR, 3, 1, 1),
+            (TAG_SAMPLE_FORMAT, 3, spp, [fmt] * spp),
+            (TAG_TILE_WIDTH, 3, 1, tile),
+            (TAG_TILE_LENGTH, 3, 1, tile),
+            (TAG_TILE_OFFSETS, 4, n, f"TILE_OFFSETS:{li}"),
+            (TAG_TILE_COUNTS, 4, n, [len(b) for b in level_tiles[li]]),
+        ]
+        if li > 0:
+            ents.append((TAG_NEW_SUBFILE_TYPE, 4, 1, 1))
+        if predictor in (2, 3):
+            ents.append((TAG_PREDICTOR, 3, 1, predictor))
+        if pixel_scale is not None:
+            sx, sy, *rest = list(pixel_scale)[:3] + [0.0] * (3 - len(pixel_scale[:3]))
+            ents.append(
+                (TAG_MODEL_PIXEL_SCALE, 12, 3,
+                 [sx * (1 << li), sy * (1 << li), rest[0] if rest else 0.0])
+            )
+        if tiepoint is not None:
+            ents.append((TAG_MODEL_TIEPOINT, 12, 6, list(tiepoint)[:6]))
+        if nodata is not None:
+            nd = (repr(float(nodata)) + "\0").encode()
+            ents.append((TAG_GDAL_NODATA, 2, len(nd), nd))
+        ents.sort(key=lambda e: e[0])
+        return ents
+
+    def value_bytes(typ, cnt, val):
+        if typ in (2, 7):
+            return bytes(val)
+        fmtc = {3: "H", 4: "I", 12: "d"}[typ]
+        vals = val if isinstance(val, (list, tuple)) else [val]
+        return struct.pack("<" + str(cnt) + fmtc, *vals)
+
+    # ----- layout: header | IFD chain | overflow | tiles (smallest level
+    # first — the COG preview-friendly ordering)
+    all_entries = [entries_for(li) for li in range(len(levels))]
+    ifd_sizes = [2 + 12 * len(e) + 4 for e in all_entries]
+    ifd_offs = [8]
+    for sz in ifd_sizes[:-1]:
+        ifd_offs.append(ifd_offs[-1] + sz)
+    overflow_off = ifd_offs[-1] + ifd_sizes[-1]
+
+    # overflow pass 1: size every >4-byte value (tile offsets are
+    # placeholders of known size, so one pass suffices for offsets)
+    overflow = bytearray()
+    ov_pos: dict[tuple[int, int], int] = {}
+    for li, ents in enumerate(all_entries):
+        for tag, typ, cnt, val in ents:
+            size = {2: 1, 7: 1, 3: 2, 4: 4, 12: 8}[typ] * cnt
+            if size <= 4:
+                continue
+            ov_pos[(li, tag)] = overflow_off + len(overflow)
+            overflow += b"\0" * size
+
+    # tile data region: smallest overview first, level 0 last
+    data_start = overflow_off + len(overflow)
+    tile_offs: list[list[int]] = [[] for _ in levels]
+    pos = data_start
+    for li in range(len(levels) - 1, -1, -1):
+        for b in level_tiles[li]:
+            tile_offs[li].append(pos)
+            pos += len(b)
+
+    # overflow pass 2: write real values (tile offsets now known)
+    for li, ents in enumerate(all_entries):
+        for tag, typ, cnt, val in ents:
+            key = (li, tag)
+            if key not in ov_pos:
+                continue
+            if isinstance(val, str) and val.startswith("TILE_OFFSETS"):
+                vb = value_bytes(typ, cnt, tile_offs[li])
+            else:
+                vb = value_bytes(typ, cnt, val)
+            o = ov_pos[key] - overflow_off
+            overflow[o : o + len(vb)] = vb
+
+    out = bytearray(b"II" + struct.pack("<HI", 42, 8))
+    for li, ents in enumerate(all_entries):
+        ifd = struct.pack("<H", len(ents))
+        for tag, typ, cnt, val in ents:
+            key = (li, tag)
+            if key in ov_pos:
+                four = struct.pack("<I", ov_pos[key])
+            else:
+                if isinstance(val, str) and val.startswith("TILE_OFFSETS"):
+                    val = tile_offs[li]
+                    if cnt == 1:
+                        val = val[0]
+                vb = value_bytes(typ, cnt, val)
+                four = vb.ljust(4, b"\0")
+            ifd += struct.pack("<HHI", tag, typ, cnt) + four
+        nxt = ifd_offs[li + 1] if li + 1 < len(levels) else 0
+        out += ifd + struct.pack("<I", nxt)
+    assert len(out) == overflow_off
+    out += overflow
+    for li in range(len(levels) - 1, -1, -1):
+        for b in level_tiles[li]:
+            out += b
+    return bytes(out)

@@ -129,3 +129,84 @@ def ingest_geotiffs(spark: SparkSession, path_glob: str) -> DataFrame:
     files = read_binary_files(spark, path_glob)
     _ = np
     return files.mapInPandas(run, schema)
+
+
+def export_cog(
+    df: DataFrame,
+    out_dir: str,
+    tile: int = 256,
+    compress: bool | str = True,
+    pixel_scale: tuple = (0.001, 0.001),
+) -> DataFrame:
+    """Distributed Cloud-Optimized GeoTIFF export sink (the inverse of
+    ingest_geotiffs): one tiled + overview-pyramided .tif per image row
+    (geotiff.cog_encode), written EXECUTOR-side with tmp+atomic-rename so
+    a killed job never leaves a torn file, and a manifest DataFrame
+    (image_id, path, n_levels, bytes_written) returned for lineage /
+    idempotent re-export (left-anti join the manifest like S7). Rows
+    carrying lon/lat become the ModelTiepoint origin; a nodata column is
+    written as the GDAL nodata tag. Bytes never touch the driver — the
+    encode+write runs inside mapInPandas, one image per call."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from gis_scripts_spark.raster import codec as codec_mod
+    from gis_scripts_spark.raster import geotiff
+
+    has_geo = "lon" in df.columns and "lat" in df.columns
+    has_nodata = "nodata" in df.columns
+    cols = ["image_id", "bytes", "fmt"]
+    if has_geo:
+        cols += ["lon", "lat"]
+    if has_nodata:
+        cols.append("nodata")
+    schema = StructType(
+        [
+            StructField("image_id", StringType(), False),
+            StructField("path", StringType(), False),
+            StructField("n_levels", IntegerType(), False),
+            StructField("bytes_written", LongType(), False),
+        ]
+    )
+
+    def run(batches):
+        os.makedirs(out_dir, exist_ok=True)
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                img = codec_mod.decode(bytes(r["bytes"]), r["fmt"])
+                tp = None
+                if has_geo:
+                    # engine rows anchor at the BOTTOM-left (see
+                    # ingest_geotiffs); the TIFF tiepoint is the TOP-left
+                    top_lat = float(r["lat"]) + img.shape[0] * pixel_scale[1]
+                    tp = (0.0, 0.0, 0.0, float(r["lon"]), top_lat, 0.0)
+                nd = None
+                if has_nodata and r["nodata"] == r["nodata"] and r["nodata"] is not None:
+                    nd = float(r["nodata"])
+                buf = geotiff.cog_encode(
+                    img, tile=tile, compress=compress,
+                    pixel_scale=pixel_scale, tiepoint=tp, nodata=nd,
+                )
+                path = os.path.join(out_dir, f"{r['image_id']}.tif")
+                tmp = path + "._tmp"
+                with open(tmp, "wb") as f:
+                    f.write(buf)
+                os.replace(tmp, path)
+                rows.append(
+                    {
+                        "image_id": r["image_id"],
+                        "path": path,
+                        "n_levels": len(geotiff.tiff_levels(buf)),
+                        "bytes_written": len(buf),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    return df.select(*cols).mapInPandas(run, schema)
