@@ -128,7 +128,18 @@ def main() -> None:
         # measurement hygiene (round-2 verdict): warm once, then min-of-K
         # (K>=3) with the per-query max/min spread recorded — the host has
         # noisy multi-minute phases (BENCH/BASELINE.md), and a single-run
-        # JSON proved untrustworthy as a record
+        # JSON proved untrustworthy as a record.
+        # Between queries: run GC finalizers DETERMINISTICALLY and drop
+        # leftover persisted frames. Operators release their internal
+        # caches via GC finalizers (knn.py cache-kill postmortem,
+        # ROUND5_NOTES); without this, a previous query's deferred
+        # releases fire INSIDE a later query's timed run — measured 2-4x
+        # phantom regressions on unchanged code deep into the 43-query
+        # suite (e.g. coverage_join 18.6s in-suite vs 4.2s pinned).
+        import gc
+
+        gc.collect()
+        spark.catalog.clearCache()
         force(make_df())
         runs = []
         for _ in range(RUNS_PER_QUERY):
