@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     "reproject_utm",
     "reproject_rpc",
     "seamless_mosaic",
+    "cog_roundtrip",
 ]
 
 RUNS_PER_QUERY = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))

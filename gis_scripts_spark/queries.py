@@ -1292,6 +1292,94 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_neardup_pairs(images, max_hamming=10)
 
 
+def q_cog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 raster EXPORT path in the driver suite (rows-only: a
+    file-writing sink over real TIFF bytes has no SQL form; bit-exactness
+    oracles live in tests/test_cog.py): input_hint images -> distributed
+    Cloud-Optimized GeoTIFF export (tiled + 'average' overview pyramid,
+    ingest.export_cog, atomic executor-side writes) -> re-ingest through
+    ingest_geotiffs -> join back to the source rows. SELF-VERIFYING: the
+    returned frame decodes BOTH sides executor-side and reports per-image
+    pixel equality, anchor (lon/lat) roundtrip, and pyramid depth —
+    a driver-visible failure if the export path ever tears."""
+    import os
+
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from gis_scripts_spark.sources import ingest, synth
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    n = 24 if "0.01" in sf_dir else 12
+    images = synth.images_df(spark, n, seed=7, sizes=(32, 64))
+    out_dir = f"/tmp/gss_cogq_{tag}"
+    # the export is the sink under test: run it eagerly (atomic per-file
+    # rename keeps concurrent runs whole), keep the tiny manifest
+    man = ingest.export_cog(images, out_dir, tile=16, compress="deflate")
+    man_rows = {r["image_id"]: r["n_levels"] for r in man.collect()}
+    man_df = spark.createDataFrame(
+        [(k, int(v)) for k, v in sorted(man_rows.items())],
+        "image_id string, n_levels int",
+    )
+
+    back = ingest.ingest_geotiffs(spark, out_dir + "/*.tif").select(
+        F.regexp_replace("image_id", r"\.tif$", "").alias("image_id"),
+        F.col("bytes").alias("cog_bytes"),
+        F.col("lon").alias("cog_lon"),
+        F.col("lat").alias("cog_lat"),
+    )
+    joined = images.select("image_id", "bytes", "fmt", "lon", "lat").join(
+        back, "image_id"
+    )
+
+    out_schema = StructType(
+        [
+            StructField("image_id", StringType(), False),
+            StructField("pixels_equal", BooleanType(), False),
+            StructField("anchor_equal", BooleanType(), False),
+            StructField("bands", IntegerType(), False),
+        ]
+    )
+
+    def compare(batches):
+        import numpy as np
+        import pandas as pd
+
+        from gis_scripts_spark.raster import codec
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                want = codec.decode(bytes(r["bytes"]), r["fmt"])
+                got = codec.decode(bytes(r["cog_bytes"]), "raw")
+                rows.append(
+                    {
+                        "image_id": r["image_id"],
+                        "pixels_equal": bool(
+                            np.array_equal(got[:, :, : want.shape[2]], want)
+                        ),
+                        "anchor_equal": bool(
+                            abs(r["cog_lon"] - r["lon"]) < 1e-9
+                            and abs(r["cog_lat"] - r["lat"]) < 1e-9
+                        ),
+                        "bands": int(want.shape[2]),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    _ = os
+    return (
+        joined.mapInPandas(compare, out_schema)
+        .join(man_df, "image_id")
+        .orderBy("image_id")
+    )
+
+
 def q_image_histogram_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global histogram matching on deliberately-overlapping synthetic
     images (rows-only): returns the solved per-image gain/offset params —
@@ -1553,6 +1641,7 @@ QUERIES: dict = {
     # equivalent; exactness proven by tests/ numpy oracles)
     "image_pipeline_zonal": q_image_pipeline_zonal,
     "phash_neardup_pairs": q_phash_neardup,
+    "cog_roundtrip": q_cog_roundtrip,
     "image_histogram_match": q_image_histogram_match,
     "mosaic_composite": q_mosaic_composite,
     "reproject_utm": q_reproject_utm,
