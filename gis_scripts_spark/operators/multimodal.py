@@ -174,14 +174,23 @@ def video_encode(frames: list[np.ndarray]) -> bytes:
     return b"".join(out)
 
 
+def _is_avi(buf: bytes) -> bool:
+    return bytes(buf[:4]) == b"RIFF" and bytes(buf[8:12]) == b"AVI "
+
+
 def video_frame_count(buf: bytes) -> int:
     if bytes(buf[:4]) == b"GIF8":  # animated GIF: structural walk, no decode
         from gis_scripts_spark.raster.gif import gif_frame_count
 
         return gif_frame_count(bytes(buf))
+    if _is_avi(buf):  # AVI/MJPEG: structural chunk walk, no decode
+        from gis_scripts_spark.raster.avi import avi_frame_count
+
+        return avi_frame_count(bytes(buf))
     if bytes(buf[:4]) != b"VID1":
         raise NotImplementedError(
-            "only VID1 and animated GIF supported in-sandbox (no h264/vp9 codecs)"
+            "only VID1, animated GIF and AVI/MJPEG supported in-sandbox "
+            "(no h264/vp9 codecs)"
         )
     return struct.unpack_from("<I", buf, 4)[0]
 
@@ -191,12 +200,20 @@ def video_iter_frames(buf: bytes):
     QNT payloads verbatim; animated GIF yields each disposal-composited
     canvas re-encoded as lossless PNG (a composited canvas can exceed 256
     colors, so GIF re-encode is not always possible). Either way the
-    yielded bytes decode with codec.decode (magic sniff)."""
+    yielded bytes decode with codec.decode (magic sniff). AVI/MJPEG
+    yields each '00dc' payload as a self-contained JPEG (Annex K tables
+    spliced for AVI1-abbreviated streams — byte surgery, no pixel
+    decode) and '00db' raw-DIB chunks as lossless PNG."""
     if bytes(buf[:4]) == b"GIF8":
         from gis_scripts_spark.raster.gif import gif_decode_frames
 
         for i, frame in enumerate(gif_decode_frames(bytes(buf))):
             yield i, codec.png_encode(frame)
+        return
+    if _is_avi(buf):
+        from gis_scripts_spark.raster.avi import avi_iter_frames
+
+        yield from avi_iter_frames(bytes(buf))
         return
     n = video_frame_count(buf)
     off = 8
