@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "pip_pairs",
     "geoparquet_pip",
     "geojson_pip",
+    "zip_manifest_coverage",
     "pip_counts",
     "grid_agg_mean_of_means",
     "knn_k5",
@@ -153,6 +154,7 @@ def main() -> None:
     # fixture setup OUTSIDE any timed path (r4 verdict #5)
     Q.ensure_geoparquet_fixture(spark, sf_dir)
     Q.ensure_geojson_fixture(spark, sf_dir)
+    Q.ensure_worldview_zip_fixture(spark, sf_dir)
 
     # optional pinned-A/B subset: comma-separated query names
     only = {s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s}

@@ -326,6 +326,115 @@ FROM pts JOIN rects
 """
 
 
+# WorldView zip-manifest fixture: all values are exact binary fractions
+# (integers and halves / 128ths), so the XML repr() strings parse back to
+# the identical doubles and the DuckDB oracle re-derives them from integer
+# math bit-for-bit (the test_proj_oracle-pinned host facts).
+_WV_AOI = (-100.0, -30.0, 60.0, 40.0)  # ax0, ay0, ax1, ay1
+
+_WV_XML_TMPL = """<isd><IMD>
+ <IMAGE><SATID>{satid}</SATID><TLCTIME>{tlc}</TLCTIME>
+   <CLOUDCOVER>{cc}</CLOUDCOVER></IMAGE>
+ <BAND_C><ULLON>{ullon}</ULLON><ULLAT>{ullat}</ULLAT>
+   <URLON>{urlon}</URLON><URLAT>{urlat}</URLAT>
+   <LRLON>{lrlon}</LRLON><LRLAT>{lrlat}</LRLAT>
+   <LLLON>{lllon}</LLLON><LLLAT>{lllat}</LLLAT></BAND_C>
+</IMD></isd>"""
+
+
+def _wv_member(k: int) -> tuple[str, bytes]:
+    fx0 = -170.0 + ((k * 7919) % 300) / 2.0
+    fy0 = -55.0 + ((k * 104729) % 100) / 2.0
+    fx1 = fx0 + (12 + (k % 5) * 4)
+    fy1 = fy0 + (10 + (k % 4) * 3)
+    xml = _WV_XML_TMPL.format(
+        satid="WV02" if k % 2 == 0 else "WV03",
+        tlc=f"2019-{1 + k % 12:02d}-{1 + k % 28:02d}T10:00:00Z",
+        cc=repr((k * 13 % 65) / 128.0),
+        ullon=repr(fx0), ullat=repr(fy1), urlon=repr(fx1), urlat=repr(fy1),
+        lrlon=repr(fx1), lrlat=repr(fy0), lllon=repr(fx0), lllat=repr(fy0),
+    )
+    return f"ACQ_{k:04d}/{k:03d}_MUL.XML", xml.encode()
+
+
+def ensure_worldview_zip_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build the Maxar-delivery-style zip ONCE as a setup step (atomic
+    tmp-file + rename, same discipline as the LAS fixture): one
+    ``*MUL*.XML`` tile-metadata member per nation key plus non-matching
+    decoys (a PAN XML and a plain text member) that the manifest filter
+    must skip."""
+    import hashlib as _hashlib
+    import os as _os
+
+    from gis_scripts_spark.sources import ziparchive as za
+
+    nk = [r[0] for r in _pq(spark, sf_dir, "nation").select("n_nationkey").collect()]
+    path = f"/tmp/wv_zip_{_hashlib.md5(sf_dir.encode()).hexdigest()[:10]}.zip"
+    if _os.path.exists(path):
+        return path
+    members = [_wv_member(int(k)) for k in sorted(nk)]
+    members.append(("ACQ_9999/999_PAN.XML", b"<isd><IMD></IMD></isd>"))
+    members.append(("DELIVERY_NOTES.txt", b"decoy, not a tile"))
+    tmp = f"{path}.tmp.{_os.getpid()}"
+    za.write_zip(tmp, members, method=8)
+    try:
+        _os.rename(tmp, path)
+    except OSError:
+        _os.unlink(tmp)
+    return path
+
+
+def q_zip_manifest_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WorldView delivery manifest (`seagrass_lib.py:168-193
+    list_files` + the `:34` AOI_COVERAGE > 0 filter) end-to-end through the
+    from-scratch ZIP source: central-directory ranged read (driver) ->
+    *MUL*.XML member filter -> distributed ranged extraction + inflate +
+    CRC check + XML parse (one Arrow pass) -> footprint-vs-AOI coverage in
+    JVM Column math. FULL oracle: DuckDB re-derives every XML field from
+    `nation` integer math, so the hash compare certifies the zip container
+    walk, the deflate stream, the XML parse AND the coverage formula
+    bit-for-bit (all fixture values are exact binary fractions)."""
+    from gis_scripts_spark.sources import ziparchive as za
+
+    path = ensure_worldview_zip_fixture(spark, sf_dir)
+    man = za.worldview_manifest(spark, path)
+    ax0, ay0, ax1, ay1 = _WV_AOI
+    iw = F.greatest(F.lit(0.0), F.least(F.col("urlon"), F.lit(ax1))
+                    - F.greatest(F.col("ullon"), F.lit(ax0)))
+    ih = F.greatest(F.lit(0.0), F.least(F.col("ullat"), F.lit(ay1))
+                    - F.greatest(F.col("lrlat"), F.lit(ay0)))
+    cov = (iw * ih) / ((F.col("urlon") - F.col("ullon"))
+                       * (F.col("ullat") - F.col("lrlat")))
+    return (
+        man.withColumn("aoi_coverage", cov)
+        .filter(F.col("aoi_coverage") > 0.0)
+        .select("directory", "satid", "tlctime", "cloudcover", "aoi_coverage")
+    )
+
+
+SQL_ZIP_MANIFEST = """
+WITH fp AS (
+    SELECT printf('ACQ_%04d', n_nationkey) AS directory,
+           CASE WHEN n_nationkey % 2 = 0 THEN 'WV02' ELSE 'WV03' END AS satid,
+           printf('2019-%02d-%02dT10:00:00Z',
+                  1 + n_nationkey % 12, 1 + n_nationkey % 28) AS tlctime,
+           ((n_nationkey * 13) % 65) / 128.0 AS cloudcover,
+           -170.0 + ((n_nationkey * 7919) % 300) / 2.0 AS fx0,
+           -55.0 + ((n_nationkey * 104729) % 100) / 2.0 AS fy0,
+           CAST(12 + (n_nationkey % 5) * 4 AS DOUBLE) AS fw,
+           CAST(10 + (n_nationkey % 4) * 3 AS DOUBLE) AS fh
+    FROM nation
+), cov AS (
+    SELECT directory, satid, tlctime, cloudcover,
+           (GREATEST(0.0, LEAST(fx0 + fw, 60.0) - GREATEST(fx0, -100.0))
+            * GREATEST(0.0, LEAST(fy0 + fh, 40.0) - GREATEST(fy0, -30.0)))
+           / (((fx0 + fw) - fx0) * ((fy0 + fh) - fy0)) AS aoi_coverage
+    FROM fp
+)
+SELECT * FROM cov WHERE aoi_coverage > 0.0
+"""
+
+
 def q_pip_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIP join + per-polygon rollup (zonal count, Assess_Agreement.R:52-57)."""
     pairs = q_pip_pairs(spark, sf_dir)
@@ -1608,6 +1717,7 @@ QUERIES: dict = {
     "pip_pairs": q_pip_pairs,
     "geoparquet_pip": q_geoparquet_pip,
     "geojson_pip": q_geojson_pip,
+    "zip_manifest_coverage": q_zip_manifest_coverage,
     "pip_counts": q_pip_counts,
     "grid_agg_mean_of_means": q_grid_agg,
     "knn_k5": q_knn,
@@ -1656,6 +1766,7 @@ ORACLES: dict[str, str] = {
     "pip_pairs": SQL_PIP_PAIRS,
     "geoparquet_pip": SQL_GEOPARQUET_PIP,
     "geojson_pip": SQL_GEOJSON_PIP,
+    "zip_manifest_coverage": SQL_ZIP_MANIFEST,
     "pip_counts": SQL_PIP_COUNTS,
     "grid_agg_mean_of_means": SQL_GRID_AGG,
     "knn_k5": SQL_KNN,
