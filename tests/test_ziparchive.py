@@ -194,3 +194,30 @@ def test_worldview_manifest_parse(spark, tmp_path):
     assert pdf["cloudcover"].tolist() == [k / 128.0 for k in range(4)]
     assert pdf["ullon"].tolist() == [-100.0 + 10 * k for k in range(4)]
     assert pdf["lrlat"].tolist() == [-40.0 + 5 * k for k in range(4)]
+
+
+def test_coverage_formula_matches_polygon_clip_kernel():
+    """The oracled rect formula in q_zip_manifest_coverage must agree with
+    the general Sutherland-Hodgman coverage kernel (geom.core
+    coverage_fraction — the reference's seagrass_lib.py:185-192 math) on
+    every fixture footprint."""
+    import numpy as np
+
+    from gis_scripts_spark.geom.core import coverage_fraction
+    from gis_scripts_spark.queries import _WV_AOI, _wv_member
+
+    ax0, ay0, ax1, ay1 = _WV_AOI
+    import re
+
+    for k in range(25):
+        _name, xml = _wv_member(k)
+        vals = {m[0].decode(): float(m[1])
+                for m in re.findall(rb"<([A-Z]+)>([-0-9.e]+)</", xml)}
+        fx0, fy0 = vals["ULLON"], vals["LLLAT"]
+        fx1, fy1 = vals["URLON"], vals["ULLAT"]
+        ring = np.array([[fx0, fy1], [fx1, fy1], [fx1, fy0], [fx0, fy0], [fx0, fy1]])
+        kernel = coverage_fraction([ring], (ax0, ay0, ax1, ay1))
+        iw = max(0.0, min(fx1, ax1) - max(fx0, ax0))
+        ih = max(0.0, min(fy1, ay1) - max(fy0, ay0))
+        rect = iw * ih / ((fx1 - fx0) * (fy1 - fy0))
+        assert abs(kernel - rect) < 1e-12, (k, kernel, rect)

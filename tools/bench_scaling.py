@@ -435,6 +435,57 @@ def job_ann(spark, n: int) -> int:
     return n
 
 
+def _zip_fixture_path(n: int) -> str:
+    return f"/tmp/scaling_zip_{n}.zip"
+
+
+def _ensure_zip_fixture(n: int) -> str:
+    """One-time (untimed) archive: n members of ~128 KiB raw each —
+    structured gradient + noise rows so deflate does real work (~2:1).
+    Deterministic from the member index; built driver-side once."""
+    import zlib as _zlib
+
+    path = _zip_fixture_path(n)
+    if os.path.exists(path):
+        return path
+    tmp = f"{path}.tmp.{os.getpid()}"
+    from gis_scripts_spark.sources.ziparchive import write_zip
+
+    members = []
+    base = np.add.outer(
+        np.arange(256, dtype=np.uint16), np.arange(512, dtype=np.uint16)
+    )
+    for i in range(n):
+        rng = np.random.RandomState(i * 2654435761 % (2**31))
+        arr = ((base + i) % 251).astype(np.uint8)
+        arr[rng.randint(0, 256, 64), :] = rng.randint(0, 256, (64, 512), dtype=np.uint8)
+        members.append((f"ACQ_{i:06d}/{i:06d}_MUL.TIF", arr.tobytes()))
+    write_zip(tmp, members, method=8)
+    os.replace(tmp, path)
+    return path
+
+
+def job_zip(spark, n: int) -> int:
+    """ZIP EXTRACTION at material member count (the S6 scale path): the
+    manifest is two driver-side ranged reads of a central directory; the
+    timed path is n independent [offset, csize) member reads + inflate +
+    CRC verify on executors, reduced by a JVM-side checksum agg. At 100 TB
+    this is the Maxar-delivery unzip fan-out: extraction parallelism =
+    member count, never archive count."""
+    from gis_scripts_spark.sources.ziparchive import zip_extract, zip_manifest
+
+    path = _ensure_zip_fixture(n)
+    man = zip_manifest(spark, path).repartition(64)
+    out = zip_extract(man, path)
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("content")).alias("bytes"),
+        F.sum(F.pmod(F.xxhash64("content"), F.lit(997))).alias("ck"),
+    )
+    agg.write.format("noop").mode("overwrite").save()
+    return n
+
+
 def job_rank_shuffle(spark, n: int) -> int:
     """CEILING CONTROL for the kNN round-1 shape: the minimal Spark job
     with the same skeleton — a shuffle equi-join whose output feeds a
@@ -606,6 +657,8 @@ def main() -> None:
                     help="points for the knn job (queries = knn/4)")
     ap.add_argument("--ann", type=int, default=2_000_000,
                     help="corpus vectors for the ann job (queries = ann/8)")
+    ap.add_argument("--zip-members", type=int, default=8192,
+                    help="members for the zip extraction job (~128 KiB each)")
     ap.add_argument("--n-cores", type=int, default=4, help="cluster size N proxy")
     ap.add_argument("--n4-cores", type=int, default=16, help="cluster size 4N proxy")
     ap.add_argument("--jobs", type=str, default="points,points_s2_udf,images")
@@ -675,6 +728,8 @@ def main() -> None:
         # serving split; codebook trained once, untimed)
         ("ann_build", job_ann_build, args.ann, 16384),
         ("ann", job_ann, args.ann, 16384),
+        # S6 scale path: distributed zip-member extraction (inflate+CRC)
+        ("zip", job_zip, args.zip_members, 2048),
     ):
         if name not in wanted:
             continue

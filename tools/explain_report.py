@@ -30,6 +30,10 @@ PLAN_QUERIES = [
     "minhash_lsh_pairs",
     "text_fingerprint",
     "dedup_clusters",
+    "ann_ivf_top3",
+    "hex_zonal_stats",
+    "zip_manifest_coverage",
+    "geojson_pip",
 ]
 
 
