@@ -265,3 +265,78 @@ def test_images_df_full_codec_mix(spark):
     pairs = {(a, b) for a, b in got[["id_a", "id_b"]].itertuples(index=False)}
     planted = {(f"img_{i-1:08d}", f"img_{i:08d}") for i in range(1, 60) if i % 5 == 1}
     assert planted <= pairs
+
+
+class TestSpectrogram:
+    def test_stft_matches_literal_dft(self):
+        """Pin stft_mag to the textbook definition: per-frame periodic-Hann
+        window then |sum_k x[k] e^{-2pi i k n / N}| computed by a literal
+        O(n^2) DFT."""
+        rng = np.random.RandomState(5)
+        wave = rng.standard_normal(1000)
+        n_fft, hop = 64, 32
+        spec = mm.stft_mag(wave, n_fft=n_fft, hop=hop)
+        assert spec.shape == ((1000 - n_fft) // hop + 1, n_fft // 2 + 1)
+        k = np.arange(n_fft)
+        win = 0.5 - 0.5 * np.cos(2 * np.pi * k / n_fft)
+        for fi in (0, 3, spec.shape[0] - 1):
+            frame = wave[fi * hop : fi * hop + n_fft] * win
+            dft = np.array(
+                [np.abs(np.sum(frame * np.exp(-2j * np.pi * k * b / n_fft)))
+                 for b in range(n_fft // 2 + 1)]
+            )
+            assert np.allclose(spec[fi], dft, atol=1e-9)
+
+    def test_pure_tone_dominant_bin(self):
+        sr, n_fft = 16000, 512
+        t = np.arange(sr, dtype=np.float64) / sr
+        wave = 0.5 * np.sin(2 * np.pi * 1000.0 * t)
+        spec = mm.stft_mag(wave, n_fft=n_fft, hop=256)
+        # 1 kHz at sr=16k, n_fft=512 -> bin 32 exactly
+        assert (spec.argmax(axis=1) == 32).all()
+
+    def test_mel_filterbank_shape_and_coverage(self):
+        fb = mm.mel_filterbank(16000, 512, 24)
+        assert fb.shape == (24, 257)
+        # triangles tile the band: every interior bin is under some filter
+        interior = fb.sum(axis=0)[3:-3]
+        assert (interior > 0).all()
+        # peak frequencies strictly increase (monotone mel centers)
+        peaks = fb.argmax(axis=1)
+        assert (np.diff(peaks) > 0).all()
+
+    def test_audio_spectrogram_spark(self, spark):
+        sr = 8000
+        t = np.arange(2 * sr, dtype=np.float64) / sr
+        clips = {
+            "tone_low": 0.4 * np.sin(2 * np.pi * 500.0 * t),
+            "tone_high": 0.4 * np.sin(2 * np.pi * 3000.0 * t),
+        }
+        pdf = pd.DataFrame(
+            {"clip_id": list(clips),
+             "bytes": [bytearray(mm.wav_encode(w, sr)) for w in clips.values()]}
+        )
+        out = mm.audio_spectrogram(
+            spark.createDataFrame(pdf), n_fft=256, hop=128
+        ).toPandas()
+        n_frames = (2 * sr - 256) // 128 + 1
+        assert (out.groupby("clip_id").size() == n_frames).all()
+        for cid, hz in (("tone_low", 500.0), ("tone_high", 3000.0)):
+            e = np.stack(out[out.clip_id == cid]["energies"].to_numpy())
+            assert (e.argmax(axis=1) == round(hz * 256 / sr)).all()
+
+    def test_log_mel_path(self, spark):
+        sr = 8000
+        t = np.arange(sr, dtype=np.float64) / sr
+        wave = 0.3 * np.sin(2 * np.pi * 440.0 * t)
+        pdf = pd.DataFrame({"clip_id": ["a"], "bytes": [bytearray(mm.wav_encode(wave, sr))]})
+        out = mm.audio_spectrogram(
+            spark.createDataFrame(pdf), n_fft=256, hop=128, n_mels=20
+        ).toPandas()
+        e = np.stack(out["energies"].to_numpy())
+        assert e.shape[1] == 20
+        # log-mel energies of a mid-band tone: the peak mel filter must be
+        # the one whose passband contains 440 Hz
+        fb = mm.mel_filterbank(sr, 256, 20)
+        want = fb[:, round(440 * 256 / sr)].argmax()
+        assert (e.argmax(axis=1) == want).all()
