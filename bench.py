@@ -155,6 +155,7 @@ def main() -> None:
     Q.ensure_geoparquet_fixture(spark, sf_dir)
     Q.ensure_geojson_fixture(spark, sf_dir)
     Q.ensure_worldview_zip_fixture(spark, sf_dir)
+    Q.ensure_phash_images_fixture(spark, sf_dir)
 
     # optional pinned-A/B subset: comma-separated query names
     only = {s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s}

@@ -1382,22 +1382,48 @@ def q_image_pipeline_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ensure_phash_images_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Land the planted-near-dup image table as parquet ONCE (setup step,
+    atomic staging-dir rename — the verdict-#5 discipline): the ENCODE of
+    the fixture (incl. progressive JPEG, the priciest encoder) is input
+    preparation, not the operator under test. The timed query then reads
+    the parquet — its work is the real near-dup pipeline: mixed-codec
+    decode + DCT pHash + banded hamming self-join."""
+    import hashlib as _hashlib
+    import os as _os
+    import shutil as _shutil
+    import uuid as _uuid
+
+    from gis_scripts_spark.sources import synth
+
+    n = 600 if "0.01" in sf_dir else 200
+    path = f"/tmp/phash_imgs_{_hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    if _os.path.isdir(path):
+        return path
+    stage = f"{path}.stage.{_uuid.uuid4().hex}"
+    synth.images_df(
+        spark, n, seed=42, dup_every=5,
+        fmts=("png", "qnt", "jpeg", "jpegp", "gif", "bmp"),
+    ).write.parquet(stage)
+    try:
+        _os.rename(stage, path)  # atomic publish; fails if a racer won
+    except OSError:
+        _shutil.rmtree(stage, ignore_errors=True)
+    return path
+
+
 def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate detection by perceptual hash (rows-only: the
     pHash comes from real decoded image bytes, which SQL cannot express;
     pair-set exactness vs a numpy all-pairs oracle is pytest's job,
-    tests/test_multimodal.py): deterministic input_hint-schema images with
-    planted re-encoded/brightness-shifted near-dups every 5th row, one
-    Arrow decode+pHash pass, then the pigeonhole-banded hamming self-join
+    tests/test_multimodal.py): input_hint-schema images with planted
+    re-encoded/brightness-shifted near-dups every 5th row (parquet
+    fixture, built untimed by ensure_phash_images_fixture), one Arrow
+    decode+pHash pass, then the pigeonhole-banded hamming self-join
     (operators/dedup.py) — only (id, hash) scalars in the Exchanges."""
     from gis_scripts_spark.operators import multimodal
-    from gis_scripts_spark.sources import synth
 
-    n = 600 if "0.01" in sf_dir else 200
-    images = synth.images_df(
-        spark, n, seed=42, dup_every=5,
-        fmts=("png", "qnt", "jpeg", "jpegp", "gif", "bmp"),
-    )
+    images = spark.read.parquet(ensure_phash_images_fixture(spark, sf_dir))
     return multimodal.phash_neardup_pairs(images, max_hamming=10)
 
 
