@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "balanced_sample",
     "image_pipeline_zonal",
     "phash_neardup_pairs",
+    "bpe_token_stats",
     "image_histogram_match",
     "mosaic_composite",
     "reproject_utm",

@@ -1427,6 +1427,33 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_neardup_pairs(images, max_hamming=10)
 
 
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-BPE tokenization over the documents table (rows-only: a
+    rank-greedy merge loop has no ANSI-SQL form; trainer/apply exactness
+    is pinned in tests/test_tokenize.py against a brute-force trainer and
+    the hand-derived classic merges): ONE map-side-combinable shuffle
+    builds the (word, count) histogram, the merge loop runs driver-side
+    over that bounded table (never the corpus), merges broadcast, and one
+    Arrow pass tokenizes every doc with a distinct-word memo. Output is a
+    per-language rollup of token counts + the corpus compression ratio."""
+    from gis_scripts_spark.operators import tokenize as tok
+
+    docs = _pq(spark, sf_dir, "documents")
+    hist = tok.word_histogram(docs, "text", max_words=50_000)
+    # the synthetic corpus has a ~31-word vocabulary; 100 merges leaves it
+    # mid-merge (real subword splits) instead of degenerating into a
+    # whole-word dictionary
+    merges = tok.train_bpe(hist, n_merges=100)
+    toks = tok.apply_bpe(docs, merges, id_col="doc_id", keep_tokens=False)
+    joined = toks.join(docs.select("doc_id", "lang", "n_chars"), "doc_id")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_pretokens").alias("pretokens"),
+        F.sum("n_bpe_tokens").alias("bpe_tokens"),
+        F.round(F.sum("n_bpe_tokens") / F.sum("n_chars"), 6).alias("tokens_per_char"),
+    )
+
+
 def q_cog_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S8 raster EXPORT path in the driver suite (rows-only: a
     file-writing sink over real TIFF bytes has no SQL form; bit-exactness
@@ -1777,6 +1804,7 @@ QUERIES: dict = {
     # equivalent; exactness proven by tests/ numpy oracles)
     "image_pipeline_zonal": q_image_pipeline_zonal,
     "phash_neardup_pairs": q_phash_neardup,
+    "bpe_token_stats": q_bpe_token_stats,
     "cog_roundtrip": q_cog_roundtrip,
     "image_histogram_match": q_image_histogram_match,
     "mosaic_composite": q_mosaic_composite,
