@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "image_pipeline_zonal",
     "phash_neardup_pairs",
     "bpe_token_stats",
+    "audio_spectral",
     "image_histogram_match",
     "mosaic_composite",
     "reproject_utm",

@@ -379,13 +379,15 @@ def mel_filterbank(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
     return fb
 
 
-SPECTROGRAM_SCHEMA = StructType(
-    [
-        StructField("clip_id", StringType(), False),
-        StructField("frame_idx", IntegerType(), False),
-        StructField("energies", ArrayType(DoubleType(), False), False),
-    ]
-)
+def _spectrogram_schema(id_type) -> StructType:
+    # clip_id keeps its source type (string fixtures, int64 event keys)
+    return StructType(
+        [
+            StructField("clip_id", id_type, False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("energies", ArrayType(DoubleType(), False), False),
+        ]
+    )
 
 
 def audio_spectrogram(
@@ -425,7 +427,9 @@ def audio_spectrogram(
                  "energies": arrs}
             )
 
-    return df.select(id_col, bytes_col).mapInPandas(run, SPECTROGRAM_SCHEMA)
+    return df.select(id_col, bytes_col).mapInPandas(
+        run, _spectrogram_schema(df.schema[id_col].dataType)
+    )
 
 
 # ---------------------------------------------------------------- video ops

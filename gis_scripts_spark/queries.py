@@ -1360,6 +1360,61 @@ SELECT event_type, event_id FROM (
 """
 
 
+def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio modality in the driver suite (rows-only: FFT has no ANSI-SQL
+    form; stft/mel exactness is pinned in tests/test_multimodal.py against
+    a literal DFT): deterministic WAV clips are synthesized from event
+    keys (two-tone sine mixtures, real RIFF/PCM bytes through wav_encode),
+    decoded back through the RIFF parser, and run through the STFT
+    front-end; per-clip rollup = dominant bin + frame count. The dominant
+    bin must equal the louder tone's bin — self-verifying like
+    cog_roundtrip (`bin_ok` is computed in the result)."""
+    from gis_scripts_spark.operators import multimodal as mm
+
+    n = 60 if "0.01" in sf_dir else 40
+    sr, n_fft, hop = 8000, 256, 128
+
+    ids = _pq(spark, sf_dir, "events").select("event_id").orderBy("event_id").limit(n)
+
+    def make_wavs(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                k = int(r["event_id"])
+                b1 = 5 + (k * 7) % 100  # louder tone's rFFT bin
+                b2 = 5 + (k * 13) % 110
+                t = np.arange(sr, dtype=np.float64)
+                wave = 0.5 * np.sin(2 * np.pi * (b1 * sr / n_fft) * t / sr) \
+                    + 0.2 * np.sin(2 * np.pi * (b2 * sr / n_fft) * t / sr)
+                rows.append((k, mm.wav_encode(wave, sr)))
+            yield pd.DataFrame(rows, columns=["clip_id", "bytes"])
+
+    from pyspark.sql.types import BinaryType as _Bin
+    from pyspark.sql.types import LongType as _Long
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+
+    clips = ids.mapInPandas(
+        make_wavs, _ST([_SF("clip_id", _Long(), False), _SF("bytes", _Bin(), False)])
+    )
+    spec = mm.audio_spectrogram(clips, n_fft=n_fft, hop=hop, id_col="clip_id")
+    dom = spec.select(
+        "clip_id", "frame_idx",
+        F.expr("array_position(energies, array_max(energies)) - 1").alias("dom_bin"),
+    )
+    per_clip = dom.groupBy("clip_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.min("dom_bin").alias("dom_min"),
+        F.max("dom_bin").alias("dom_max"),
+    )
+    want = F.lit(5) + (F.col("clip_id") * F.lit(7)) % F.lit(100)
+    return per_clip.select(
+        "clip_id", "n_frames",
+        (F.col("dom_min") == F.col("dom_max")).alias("stable"),
+        (F.col("dom_min") == want).alias("bin_ok"),
+    )
+
+
 def q_image_pipeline_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END image engine on the input_hint table (rows-only driver
     check; deterministic synth — identical at any parallelism): synthesize
@@ -1805,6 +1860,7 @@ QUERIES: dict = {
     "image_pipeline_zonal": q_image_pipeline_zonal,
     "phash_neardup_pairs": q_phash_neardup,
     "bpe_token_stats": q_bpe_token_stats,
+    "audio_spectral": q_audio_spectral,
     "cog_roundtrip": q_cog_roundtrip,
     "image_histogram_match": q_image_histogram_match,
     "mosaic_composite": q_mosaic_composite,
