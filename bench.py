@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "phash_neardup_pairs",
     "bpe_token_stats",
     "audio_spectral",
+    "video_frames",
     "image_histogram_match",
     "mosaic_composite",
     "reproject_utm",

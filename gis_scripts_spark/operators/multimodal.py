@@ -433,13 +433,15 @@ def audio_spectrogram(
 
 
 # ---------------------------------------------------------------- video ops
-FRAME_SCHEMA = StructType(
-    [
-        StructField("video_id", StringType(), False),
-        StructField("frame_idx", IntegerType(), False),
-        StructField("frame_bytes", BinaryType(), False),
-    ]
-)
+def _frame_schema(id_type) -> StructType:
+    # video_id keeps its source type (string fixtures, int64 event keys)
+    return StructType(
+        [
+            StructField("video_id", id_type, False),
+            StructField("frame_idx", IntegerType(), False),
+            StructField("frame_bytes", BinaryType(), False),
+        ]
+    )
 
 
 def sample_frames(df: DataFrame, every_k: int = 2, id_col: str = "video_id", bytes_col: str = "bytes") -> DataFrame:
@@ -457,4 +459,6 @@ def sample_frames(df: DataFrame, every_k: int = 2, id_col: str = "video_id", byt
                         frames.append(bytearray(frame))
             yield pd.DataFrame({"video_id": ids, "frame_idx": np.asarray(idxs, np.int32), "frame_bytes": frames})
 
-    return df.select(id_col, bytes_col).mapInPandas(run, FRAME_SCHEMA)
+    return df.select(id_col, bytes_col).mapInPandas(
+        run, _frame_schema(df.schema[id_col].dataType)
+    )

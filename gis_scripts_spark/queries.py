@@ -1415,6 +1415,84 @@ def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video modality in the driver suite (rows-only: container walks over
+    real bytes have no SQL form; codec exactness lives in tests/test_avi.py):
+    deterministic AVI videos are synthesized from event keys — even keys as
+    raw-DIB (lossless) AVIs, odd keys as MJPEG with the AVI1 stripped-DHT
+    layout riding the from-scratch JPEG codec — then exploded through
+    sample_frames and re-decoded. SELF-VERIFYING: each output row carries
+    `px_ok` (DIB: bit-exact equality with the re-derived source frame;
+    MJPG: PSNR >= 40 dB), so a container/codec regression is
+    driver-visible."""
+    from gis_scripts_spark.operators import multimodal as mm
+    from gis_scripts_spark.raster import avi as avi_mod
+    from gis_scripts_spark.raster import codec as codec_mod
+
+    n = 24 if "0.01" in sf_dir else 16
+    n_frames, h, w = 6, 24, 32
+
+    ids = _pq(spark, sf_dir, "events").select("event_id").orderBy("event_id").limit(n)
+
+    def scene(k: int, i: int) -> np.ndarray:
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        chans = [
+            120 + 60 * np.sin((xx + 3 * i) / 9.0 + (k * 7) % 13)
+            + 30 * np.cos((yy + 2 * i) / 7.0 + c)
+            for c in range(3)
+        ]
+        return np.clip(np.stack(chans, axis=-1), 0, 255).astype(np.uint8)
+
+    def make_avis(batches):
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                k = int(r["event_id"])
+                frames = [scene(k, i) for i in range(n_frames)]
+                buf = avi_mod.avi_encode(
+                    frames, compressed=bool(k % 2), strip_dht=bool(k % 2)
+                )
+                rows.append((k, buf))
+            yield pd.DataFrame(rows, columns=["video_id", "bytes"])
+
+    from pyspark.sql.types import (
+        BinaryType as _Bin,
+        BooleanType as _Bool,
+        IntegerType as _Int,
+        LongType as _Long,
+        StructField as _SF,
+        StructType as _ST,
+    )
+
+    vids = ids.mapInPandas(
+        make_avis, _ST([_SF("video_id", _Long(), False), _SF("bytes", _Bin(), False)])
+    )
+    sampled = mm.sample_frames(vids, every_k=2, id_col="video_id")
+
+    def verify(batches):
+        for pdf in batches:
+            ks, idxs, oks = [], [], []
+            for _, r in pdf.iterrows():
+                k, i = int(r["video_id"]), int(r["frame_idx"])
+                img = codec_mod.decode(bytes(r["frame_bytes"]))
+                src = scene(k, i)
+                ok = (
+                    bool(np.array_equal(img, src))
+                    if k % 2 == 0  # DIB path: lossless
+                    else bool(codec_mod.psnr(src, img) >= 40.0)
+                )
+                ks.append(k)
+                idxs.append(i)
+                oks.append(ok)
+            yield pd.DataFrame({"video_id": ks, "frame_idx": idxs, "px_ok": oks})
+
+    out_schema = _ST(
+        [_SF("video_id", _Long(), False), _SF("frame_idx", _Int(), False),
+         _SF("px_ok", _Bool(), False)]
+    )
+    return sampled.mapInPandas(verify, out_schema)
+
+
 def q_image_pipeline_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END image engine on the input_hint table (rows-only driver
     check; deterministic synth — identical at any parallelism): synthesize
@@ -1861,6 +1939,7 @@ QUERIES: dict = {
     "phash_neardup_pairs": q_phash_neardup,
     "bpe_token_stats": q_bpe_token_stats,
     "audio_spectral": q_audio_spectral,
+    "video_frames": q_video_frames,
     "cog_roundtrip": q_cog_roundtrip,
     "image_histogram_match": q_image_histogram_match,
     "mosaic_composite": q_mosaic_composite,
