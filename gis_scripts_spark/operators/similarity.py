@@ -147,16 +147,55 @@ def cosine_topk_sql(
     )
 
 
+# --- LSH hyperplane family: integer-mixed Rademacher (+/-1) planes over
+# 1024-quantized vector components. Two properties motivate this over
+# seeded gaussian planes:
+#   * the projection  P(t,p) = sum_d round(v_d*1024) * s(t,p,d)  is an
+#     INT64 sum — exact and addition-order-independent, so numpy (BLAS
+#     matmul) and any SQL engine (sequential SUM) compute bit-identical
+#     sign bits, which is what lets `ann_lsh_top3` run under the FULL
+#     DuckDB value-hash oracle (lsh_bucket_sql emits the same
+#     computation as SQL);
+#   * sign-random-projection LSH only needs the plane distribution to be
+#     symmetric — Rademacher entries are the standard cheap variant of
+#     the Charikar hyperplane family (recall contract re-pinned by
+#     tests/test_similarity_more.py).
+# The quantization (floor(v*1024 + 0.5), exact in float64 for float32
+# inputs since 1024 is a power of two) only perturbs vectors by <1e-3
+# per component inside the HASH; the top-k re-rank is exact cosine on
+# the raw floats.
+_LSH_MIX_MULT = 2654435761
+_LSH_MIX_ADD = 1013904223
+_LSH_MOD = 1 << 32
+
+
+def _lsh_plane_signs(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """(dim, n_planes) int64 matrix of +/-1 plane entries for one table.
+    sign(p, d) = +1 iff bit 16 of mix(seed*1000003 + p*8191 + d) is set —
+    re-derivable verbatim in SQL (lsh_bucket_sql)."""
+    p = np.arange(n_planes, dtype=np.int64)[None, :]
+    d = np.arange(dim, dtype=np.int64)[:, None]
+    x = seed * 1000003 + p * 8191 + d
+    h = (x * _LSH_MIX_MULT + _LSH_MIX_ADD) % _LSH_MOD
+    return (((h >> 16) & 1) * 2 - 1).astype(np.int64)
+
+
+def _lsh_quantize(m: np.ndarray) -> np.ndarray:
+    """floor(v*1024 + 0.5) as int64 — exact for float32 inputs (power-of-2
+    scale, float64 arithmetic), identical to SQL FLOOR(v*1024 + 0.5)."""
+    return np.floor(m.astype(np.float64) * 1024.0 + 0.5).astype(np.int64)
+
+
 def lsh_signature_udf(dim: int, n_planes: int = 16, seed: int = 7):
     """Random-hyperplane (SimHash) signature for cosine LSH: sign pattern of
-    `n_planes` fixed seeded projections, packed into an int64 bucket key."""
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))
+    `n_planes` fixed mixed-Rademacher projections over quantized components,
+    packed into an int64 bucket key."""
+    planes = _lsh_plane_signs(dim, n_planes, seed)
 
     @F.pandas_udf(LongType())
     def sig(vec: pd.Series) -> pd.Series:
-        m = np.stack(vec.to_numpy())  # (batch, dim)
-        bits = (m.astype(np.float64) @ planes) >= 0.0
+        m = _lsh_quantize(np.stack(vec.to_numpy()))  # (batch, dim) int64
+        bits = (m @ planes) >= 0
         weights = (1 << np.arange(n_planes, dtype=np.int64))
         return pd.Series(bits @ weights)
 
@@ -170,18 +209,59 @@ def lsh_multi_signature_udf(dim: int, n_planes: int, n_tables: int, seed: int = 
     # per-table seeds identical to lsh_signature_udf(seed=seed+t) so the
     # buckets (hence results) match the per-table formulation exactly
     planes = np.hstack(
-        [np.random.default_rng(seed + t).standard_normal((dim, n_planes)) for t in range(n_tables)]
+        [_lsh_plane_signs(dim, n_planes, seed + t) for t in range(n_tables)]
     )
     weights = (1 << np.arange(n_planes, dtype=np.int64))
 
     @F.pandas_udf(ArrayType(LongType()))
     def sigs(vec: pd.Series) -> pd.Series:
-        m = np.stack(vec.to_numpy()).astype(np.float64)  # (batch, dim)
-        bits = (m @ planes) >= 0.0  # (batch, n_tables*n_planes)
+        m = _lsh_quantize(np.stack(vec.to_numpy()))  # (batch, dim) int64
+        bits = (m @ planes) >= 0  # (batch, n_tables*n_planes)
         keys = bits.reshape(len(m), n_tables, n_planes) @ weights  # (batch, n_tables)
         return pd.Series(list(keys))
 
     return sigs
+
+
+def lsh_bucket_sql(
+    table: str,
+    id_col: str,
+    vec: str,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int = 101,
+) -> str:
+    """ANSI-SQL CTE chain reproducing `lsh_multi_signature_udf`'s bucket
+    keys BIT-FOR-BIT (integer mixing + int64 projection sums — no float
+    summation anywhere, so addition order cannot matter). Emits a relation
+    `lsh_sig(vec_id, t, bucket)`; compose with a same-bucket self-join for
+    the candidate set (see queries.SQL_ANN_LSH)."""
+    return f"""
+lsh_dims AS (SELECT CAST(unnest(range(0, {dim})) AS BIGINT) AS d),
+lsh_planes AS (
+  SELECT t.t, p.p, dims.d,
+         CASE WHEN ((((({seed} + t.t) * 1000003 + p.p * 8191 + dims.d)
+                      * {_LSH_MIX_MULT} + {_LSH_MIX_ADD}) % {_LSH_MOD})
+                    // 65536) % 2 = 1
+              THEN 1 ELSE -1 END AS s
+  FROM (SELECT CAST(unnest(range(0, {n_tables})) AS BIGINT) AS t) t,
+       (SELECT CAST(unnest(range(0, {n_planes})) AS BIGINT) AS p) p,
+       lsh_dims dims),
+lsh_qv AS (
+  SELECT e.{id_col} AS vec_id, dims.d,
+         CAST(FLOOR(CAST(e.{vec}[CAST(dims.d AS INTEGER) + 1] AS DOUBLE) * 1024 + 0.5)
+              AS BIGINT) AS q
+  FROM {table} e, lsh_dims dims),
+lsh_proj AS (
+  SELECT qv.vec_id, pl.t, pl.p, SUM(qv.q * pl.s) AS pr
+  FROM lsh_qv qv JOIN lsh_planes pl ON qv.d = pl.d
+  GROUP BY 1, 2, 3),
+lsh_sig AS (
+  SELECT vec_id, t,
+         SUM(CASE WHEN pr >= 0 THEN (CAST(1 AS BIGINT) << CAST(p AS INTEGER))
+                  ELSE 0 END) AS bucket
+  FROM lsh_proj GROUP BY 1, 2)"""
 
 
 def lsh_candidates(

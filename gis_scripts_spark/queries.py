@@ -601,18 +601,44 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN end-to-end (rows-only: the result is approximate
-    by design — recall>=0.95 vs brute force is the pytest contract,
-    tests/test_similarity_more.py). Exercises the r4-directive-#2 scale
-    shape under the driver: ids-only candidate stage (one Arrow pass for
-    all n_tables signatures, posexplode, 3-column self-join, groupBy
-    report-once), vectors re-joined ONCE for the exact cosine re-rank.
-    Deterministic: seeded hyperplanes, (sim desc, id) tie-break."""
+    """LSH-bucketed ANN end-to-end under the FULL oracle (r5): the
+    integer-mixed Rademacher hyperplanes over 1024-quantized components
+    make every bucket key an exact int64 computation that
+    `similarity.lsh_bucket_sql` re-derives verbatim in DuckDB — the
+    approximate candidate set itself (not just the re-rank) is oracled.
+    Exercises the r4-directive-#2 scale shape under the driver: ids-only
+    candidate stage (one Arrow pass for all n_tables signatures,
+    posexplode, 3-column self-join, groupBy report-once), vectors
+    re-joined ONCE for the exact cosine re-rank. recall>=0.95 vs brute
+    force remains the pytest contract (tests/test_similarity_more.py)."""
     emb = _pq(spark, sf_dir, "embeddings")
     return similarity.lsh_topk(
         emb, k=3, id_col="vec_id", vec="embedding", dim=64,
         n_planes=10, n_tables=6,
     )
+
+
+def _sql_ann_lsh() -> str:
+    ctes = similarity.lsh_bucket_sql(
+        "embeddings", "vec_id", "embedding", dim=64, n_planes=10, n_tables=6
+    )
+    return f"""
+WITH {ctes},
+cand AS (
+  SELECT DISTINCT a.vec_id AS qid, b.vec_id AS pid
+  FROM lsh_sig a JOIN lsh_sig b ON a.t = b.t AND a.bucket = b.bucket
+  WHERE a.vec_id <> b.vec_id),
+rer AS (
+  SELECT c.qid, c.pid, list_cosine_similarity(ea.embedding, eb.embedding) AS sim
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.qid
+  JOIN embeddings eb ON eb.vec_id = c.pid),
+ranked AS (
+  SELECT qid AS query_id, pid AS neighbor_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, pid) AS INTEGER) AS rank
+  FROM rer)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
+"""
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1964,6 +1990,9 @@ ORACLES: dict[str, str] = {
     "text_stats": SQL_TEXT_STATS,
     "embed_cosine_top3": SQL_EMBED_TOPK,
     "ann_ivf_top3": SQL_EMBED_TOPK,
+    # the LSH candidate set itself is oracled: integer-mixed Rademacher
+    # planes over quantized components = exact int64 bucket keys in SQL
+    "ann_lsh_top3": _sql_ann_lsh(),
     "ngram_jaccard_pairs": SQL_NGRAM_JACCARD,
     "minhash_lsh_pairs": SQL_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,

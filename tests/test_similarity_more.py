@@ -194,3 +194,36 @@ def test_knn_bound_prefilter_exact_on_boundary_survivors(spark):
         assert sub["neighbor_id"].tolist() == want, f"query {ids[qi]}"
     counts = out.groupby("query_id").size()
     assert (counts == 3).all() and len(counts) == len(xy)
+
+
+def test_lsh_bucket_sql_matches_udf(spark):
+    """Oracle contract for ann_lsh_top3: lsh_bucket_sql's DuckDB CTE chain
+    reproduces lsh_multi_signature_udf's int64 bucket keys BIT-FOR-BIT
+    (integer-mixed Rademacher planes + quantized int64 projections — no
+    float summation, so engine addition order cannot matter)."""
+    import duckdb
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "vec_id": range(60),
+        "embedding": [rng.standard_normal(32).astype(np.float32).tolist()
+                      for _ in range(60)],
+    })
+    n_tables, n_planes, dim = 5, 9, 32
+    df = spark.createDataFrame(pdf)
+    multi = similarity.lsh_multi_signature_udf(dim, n_planes, n_tables)
+    got = (
+        df.select("vec_id", F.posexplode(multi(F.col("embedding"))).alias("t", "bucket"))
+        .toPandas().sort_values(["vec_id", "t"]).reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    ctes = similarity.lsh_bucket_sql(
+        "embeddings", "vec_id", "embedding", dim=dim,
+        n_planes=n_planes, n_tables=n_tables)
+    want = con.execute(
+        f"WITH {ctes} SELECT vec_id, t, bucket FROM lsh_sig ORDER BY vec_id, t"
+    ).df()
+    assert (got["vec_id"].to_numpy() == want["vec_id"].to_numpy()).all()
+    assert (got["t"].to_numpy() == want["t"].to_numpy()).all()
+    assert (got["bucket"].to_numpy() == want["bucket"].to_numpy()).all()
