@@ -1779,25 +1779,42 @@ SELECT 'view' AS Class, n_b AS n, ROUND(med_b, 6) AS Median,
 """
 
 
+def _mosaic_fixture_pixels(i: int) -> np.ndarray:
+    """32x32x1 int16 scene for image i — integer-mixed so DuckDB re-derives
+    every pixel: v = ((mix(i*131071 + r*8191 + c) >> 16) % 200), nodata
+    (-9999) planted where v < 10 (5% holes)."""
+    r = np.arange(32, dtype=np.int64)[:, None]
+    c = np.arange(32, dtype=np.int64)[None, :]
+    x = np.int64(i) * 131071 + r * 8191 + c
+    h = (x * 2654435761 + 1013904223) % (1 << 32)
+    v = ((h >> 16) % 200).astype(np.int16)
+    return np.where(v < 10, np.int16(-9999), v)[..., None]
+
+
 def q_mosaic_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pixel-level mosaic compositing (rows-only: output is image bytes):
-    deterministically overlapping synthetic scenes -> per-tile last-wins
-    composite (gdal_merge semantics, merge_tif_files.py:48-58). Emits
-    tile ids + source/valid-pixel counts + the md5 of the composite bytes
-    (RAW1 encode is bit-deterministic, so the hash is parallelism-stable);
-    pixel exactness vs a numpy paint oracle is proven in
-    tests/test_mosaic.py."""
+    """Pixel-level mosaic compositing under the FULL oracle (r5):
+    deterministically overlapping integer-mixed scenes -> per-tile
+    last-wins composite (gdal_merge semantics, merge_tif_files.py:48-58).
+    The REAL pixel pipeline runs (RAW1 encode -> tile-keyed shuffle ->
+    applyInPandas paint -> decode), and because the fixture pixels are
+    integer-mixed the emitted per-tile value/position checksums are
+    re-derivable relationally: DuckDB replays the paint as
+    MAX_BY(value, image) per global pixel (SQL_MOSAIC_COMPOSITE). Byte-
+    level paint exactness vs numpy stays pinned in tests/test_mosaic.py.
+    Fixture size scales with the events row count so the oracle follows
+    the gate's sf."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
     from gis_scripts_spark.operators import mosaic as mosaic_mod
     from gis_scripts_spark.raster import codec as codec_mod
     from gis_scripts_spark.raster.match import RES_DEG
     from gis_scripts_spark.sources import synth as synth_mod
 
-    n = 60 if "0.01" in sf_dir else 30
-    rng = np.random.default_rng(7)
+    ev_n = _pq(spark, sf_dir, "events").count()
+    n = max(24, min(96, ev_n // 250))
     rows = []
     for i in range(n):
-        px = rng.integers(0, 200, (32, 32, 1)).astype(np.int16)
-        px[px < 10] = -9999  # planted nodata holes
+        px = _mosaic_fixture_pixels(i)
         rows.append(
             {
                 "image_id": f"mc_{i:04d}",
@@ -1812,9 +1829,70 @@ def q_mosaic_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.createDataFrame(pd.DataFrame(rows), schema=synth_mod.IMAGE_SCHEMA)
     out = mosaic_mod.mosaic_composite(df, tile_px=64, order="last", nodata_col="nodata",
                                       fill_value=-9999.0)
-    return out.select(
-        "tile_x", "tile_y", "n_sources", "n_valid_px", F.md5("bytes").alias("tile_md5")
+
+    chk_schema = StructType(
+        [
+            StructField("tile_x", LongType()),
+            StructField("tile_y", LongType()),
+            StructField("n_sources", IntegerType()),
+            StructField("n_valid_px", LongType()),
+            StructField("px_sum", LongType()),
+            StructField("px_chk", LongType()),
+        ]
     )
+
+    def tile_checksums(batches):
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                img = codec_mod.decode(bytes(row["bytes"]), row["fmt"])[:, :, 0]
+                val = img.astype(np.int64)
+                mask = val != -9999
+                gy = np.int64(row["tile_y"]) * 64 + np.arange(64, dtype=np.int64)[:, None]
+                gx = np.int64(row["tile_x"]) * 64 + np.arange(64, dtype=np.int64)[None, :]
+                pos = (gy % 32768) * 32768 + (gx % 32768)
+                wt = ((((pos * 2654435761 + 1013904223) % (1 << 32)) >> 16) % 997) + 1
+                recs.append(
+                    {
+                        "tile_x": int(row["tile_x"]),
+                        "tile_y": int(row["tile_y"]),
+                        "n_sources": int(row["n_sources"]),
+                        "n_valid_px": int(row["n_valid_px"]),
+                        "px_sum": int(val[mask].sum()),
+                        "px_chk": int((val[mask] * wt[mask]).sum()),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in chk_schema.fields])
+
+    return out.mapInPandas(tile_checksums, chk_schema)
+
+
+SQL_MOSAIC_COMPOSITE = """
+WITH nimg AS (SELECT GREATEST(24, LEAST(96, COUNT(*) // 250)) AS n FROM events),
+imgs AS (SELECT CAST(unnest(range(0, (SELECT n FROM nimg))) AS BIGINT) AS i),
+rr AS (SELECT CAST(unnest(range(0, 32)) AS BIGINT) AS r),
+cl AS (SELECT CAST(unnest(range(0, 32)) AS BIGINT) AS c),
+src AS (
+  SELECT i, (i % 10) * 16 + 180000 + c AS gx,
+         90000 - (i // 10) * 16 - 32 + r AS gy,
+         (((i * 131071 + r * 8191 + c) * 2654435761 + 1013904223) % 4294967296 >> 16) % 200 AS v
+  FROM imgs, rr, cl),
+comp AS (
+  SELECT gx, gy, MAX_BY(v, i) AS val
+  FROM src WHERE v >= 10 GROUP BY gx, gy),
+nsrc AS (
+  SELECT gx // 64 AS tile_x, gy // 64 AS tile_y,
+         CAST(COUNT(DISTINCT i) AS INTEGER) AS n_sources
+  FROM src GROUP BY 1, 2),
+agg AS (
+  SELECT gx // 64 AS tile_x, gy // 64 AS tile_y,
+         COUNT(*) AS n_valid_px, CAST(SUM(val) AS BIGINT) AS px_sum,
+         CAST(SUM(val * (((((gy % 32768) * 32768 + (gx % 32768)) * 2654435761 + 1013904223)
+                          % 4294967296 >> 16) % 997 + 1)) AS BIGINT) AS px_chk
+  FROM comp GROUP BY 1, 2)
+SELECT a.tile_x, a.tile_y, n.n_sources, a.n_valid_px, a.px_sum, a.px_chk
+FROM agg a JOIN nsrc n USING (tile_x, tile_y)
+"""
 
 
 def q_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2007,9 +2085,12 @@ ORACLES: dict[str, str] = {
     "laz_ground_stats": SQL_LAS_STATS,
     # every text/dedup query is now fully oracled; the blake2b 128-perm
     # minhash variant remains as an operator with its recall pytest.
-    # mosaic_composite / seamless_mosaic / reproject_utm / image_*: bytes
-    # pipelines -> rows-only; pixel exactness proven by numpy oracles in
-    # tests/ (test_mosaic.py, test_proj_warp.py, test_raster_ops.py).
+    # mosaic_composite (r5): the REAL pixel paint pipeline runs; DuckDB
+    # replays it relationally over the integer-mixed fixture pixels
+    "mosaic_composite": SQL_MOSAIC_COMPOSITE,
+    # seamless_mosaic / reproject_utm / image_*: bytes pipelines ->
+    # rows-only; pixel exactness proven by numpy oracles in tests/
+    # (test_mosaic.py, test_proj_warp.py, test_raster_ops.py).
     "topk_events_per_user": SQL_TOPK_EVENTS,
     "zonal_event_stats": SQL_ZONAL_EVENTS,
     "hex_zonal_stats": SQL_HEX_ZONAL,
