@@ -155,41 +155,120 @@ _utm AS (SELECT {carry},
   FROM _u6)"""
 
 
+# Footpoint-latitude series constants (Snyder eq. 3-26), precomputed as
+# module doubles so sql_utm_inverse_ctes embeds the identical values.
+RAD2DEG = 180.0 / np.pi
+_E1 = (1 - np.sqrt(1 - E2)) / (1 + np.sqrt(1 - E2))
+_FP_C2 = 3 * _E1 / 2 - 27 * (_E1 * _E1 * _E1) / 32
+_FP_C4 = 21 * (_E1 * _E1) / 16 - 55 * (_E1 * _E1 * _E1 * _E1) / 32
+_FP_C6 = 151 * (_E1 * _E1 * _E1) / 96
+_FP_C8 = 1097 * (_E1 * _E1 * _E1 * _E1) / 512
+
+
 def utm_inverse(easting, northing, zone: int, north: bool = True):
-    """UTM meters -> (lon, lat) degrees (Snyder eq. 8-17..8-25)."""
+    """UTM meters -> (lon, lat) degrees (Snyder eq. 8-17..8-25).
+
+    Like ``utm_forward``, every step is elementary +,-,*,/ plus
+    sin/cos/sqrt in a FIXED evaluation order (tan as sin/cos, integer
+    powers as multiply chains, x**1.5 as x*sqrt(x), degrees as an
+    explicit RAD2DEG multiply) so ``sql_utm_inverse_ctes`` reproduces the
+    result bit-for-bit in DuckDB — which is what puts the inverse leg of
+    the CRS warp under the full value-hash oracle (reproject_utm)."""
     x = np.asarray(easting, np.float64) - 500000.0
     y = np.asarray(northing, np.float64)
     if not north:
         y = y - 10000000.0
-    lam0 = np.radians(zone * 6.0 - 183.0)
+    lam0 = (zone * 6.0 - 183.0) * DEG2RAD
 
     m = y / K0_UTM
-    e1 = (1 - np.sqrt(1 - E2)) / (1 + np.sqrt(1 - E2))
-    mu = m / (A * (1 - E2 / 4 - 3 * E2 * E2 / 64 - 5 * E2**3 / 256))
+    mu = m / (A * _MA_C0)
     phi1 = (
         mu
-        + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
-        + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
-        + (151 * e1**3 / 96) * np.sin(6 * mu)
-        + (1097 * e1**4 / 512) * np.sin(8 * mu)
+        + _FP_C2 * np.sin(2.0 * mu)
+        + _FP_C4 * np.sin(4.0 * mu)
+        + _FP_C6 * np.sin(6.0 * mu)
+        + _FP_C8 * np.sin(8.0 * mu)
     )
     sphi1, cphi1 = np.sin(phi1), np.cos(phi1)
+    tphi1 = sphi1 / cphi1
     c1 = EP2 * cphi1 * cphi1
-    t1 = np.tan(phi1) ** 2
-    n1 = A / np.sqrt(1 - E2 * sphi1 * sphi1)
-    r1 = A * (1 - E2) / (1 - E2 * sphi1 * sphi1) ** 1.5
+    t1 = tphi1 * tphi1
+    q1 = 1.0 - E2 * sphi1 * sphi1
+    n1 = A / np.sqrt(q1)
+    r1 = A * (1.0 - E2) / (q1 * np.sqrt(q1))
     d = x / (n1 * K0_UTM)
+    d2 = d * d
+    d3 = d2 * d
+    d4 = d2 * d2
+    d5 = d4 * d
+    d6 = d4 * d2
 
-    phi = phi1 - (n1 * np.tan(phi1) / r1) * (
-        d * d / 2
-        - (5 + 3 * t1 + 10 * c1 - 4 * c1 * c1 - 9 * EP2) * d**4 / 24
-        + (61 + 90 * t1 + 298 * c1 + 45 * t1 * t1 - 252 * EP2 - 3 * c1 * c1) * d**6 / 720
+    phi = phi1 - (n1 * tphi1 / r1) * (
+        d2 / 2.0
+        - (5.0 + 3.0 * t1 + 10.0 * c1 - 4.0 * c1 * c1 - 9.0 * EP2) * d4 / 24.0
+        + (61.0 + 90.0 * t1 + 298.0 * c1 + 45.0 * t1 * t1 - 252.0 * EP2
+           - 3.0 * c1 * c1) * d6 / 720.0
     )
     lam = lam0 + (
-        d - (1 + 2 * t1 + c1) * d**3 / 6
-        + (5 - 2 * c1 + 28 * t1 - 3 * c1 * c1 + 8 * EP2 + 24 * t1 * t1) * d**5 / 120
+        d - (1.0 + 2.0 * t1 + c1) * d3 / 6.0
+        + (5.0 - 2.0 * c1 + 28.0 * t1 - 3.0 * c1 * c1 + 8.0 * EP2
+           + 24.0 * t1 * t1) * d5 / 120.0
     ) / cphi1
-    return np.degrees(lam), np.degrees(phi)
+    return lam * RAD2DEG, phi * RAD2DEG
+
+
+def sql_utm_inverse_ctes(src: str, carry: str, zone: int, north: bool = True,
+                         e_col: str = "easting", n_col: str = "northing") -> str:
+    """DuckDB CTE chain reproducing ``utm_inverse`` BIT-FOR-BIT: returns
+    CTE definitions (no leading WITH) ending in ``_inv`` which exposes
+    ``{carry}, glon, glat`` — same discipline as sql_utm_forward_ctes
+    (string-repr'd double literals, identical evaluation order)."""
+    lam0 = _dlit((zone * 6.0 - 183.0) * DEG2RAD)
+    y_sql = n_col if north else f"({n_col} - {_dlit(10000000.0)})"
+    return f"""
+_i1 AS (SELECT {carry}, {e_col} - {_dlit(500000.0)} AS x,
+    ({y_sql} / {_dlit(K0_UTM)}) / ({_dlit(A)} * {_dlit(_MA_C0)}) AS mu
+  FROM {src}),
+_i2 AS (SELECT {carry}, x,
+    mu + {_dlit(_FP_C2)} * SIN({_dlit(2.0)} * mu)
+       + {_dlit(_FP_C4)} * SIN({_dlit(4.0)} * mu)
+       + {_dlit(_FP_C6)} * SIN({_dlit(6.0)} * mu)
+       + {_dlit(_FP_C8)} * SIN({_dlit(8.0)} * mu) AS phi1
+  FROM _i1),
+_i3 AS (SELECT {carry}, x, phi1, SIN(phi1) AS sphi1, COS(phi1) AS cphi1 FROM _i2),
+_i4 AS (SELECT {carry}, x, phi1, sphi1, cphi1,
+    sphi1 / cphi1 AS tphi1,
+    {_dlit(EP2)} * cphi1 * cphi1 AS c1,
+    {_dlit(1.0)} - {_dlit(E2)} * sphi1 * sphi1 AS q1
+  FROM _i3),
+_i5 AS (SELECT {carry}, x, phi1, cphi1, tphi1, c1,
+    tphi1 * tphi1 AS t1,
+    {_dlit(A)} / SQRT(q1) AS n1,
+    {_dlit(A)} * {_dlit(1.0 - E2)} / (q1 * SQRT(q1)) AS r1
+  FROM _i4),
+_i6 AS (SELECT {carry}, phi1, cphi1, tphi1, c1, t1, n1, r1,
+    x / (n1 * {_dlit(K0_UTM)}) AS d
+  FROM _i5),
+_i7 AS (SELECT {carry}, phi1, cphi1, tphi1, c1, t1, n1, r1, d,
+    d * d AS d2 FROM _i6),
+_i8 AS (SELECT {carry}, phi1, cphi1, tphi1, c1, t1, n1, r1, d, d2,
+    d2 * d AS d3, d2 * d2 AS d4 FROM _i7),
+_i9 AS (SELECT {carry}, phi1, cphi1, tphi1, c1, t1, n1, r1, d, d2, d3, d4,
+    d4 * d AS d5, d4 * d2 AS d6 FROM _i8),
+_inv AS (SELECT {carry},
+    ({lam0} + (d - ({_dlit(1.0)} + {_dlit(2.0)} * t1 + c1) * d3 / {_dlit(6.0)}
+        + ({_dlit(5.0)} - {_dlit(2.0)} * c1 + {_dlit(28.0)} * t1
+           - {_dlit(3.0)} * c1 * c1 + {_dlit(8.0)} * {_dlit(EP2)}
+           + {_dlit(24.0)} * t1 * t1) * d5 / {_dlit(120.0)}) / cphi1)
+      * {_dlit(RAD2DEG)} AS glon,
+    (phi1 - (n1 * tphi1 / r1) * (d2 / {_dlit(2.0)}
+        - ({_dlit(5.0)} + {_dlit(3.0)} * t1 + {_dlit(10.0)} * c1
+           - {_dlit(4.0)} * c1 * c1 - {_dlit(9.0)} * {_dlit(EP2)}) * d4 / {_dlit(24.0)}
+        + ({_dlit(61.0)} + {_dlit(90.0)} * t1 + {_dlit(298.0)} * c1
+           + {_dlit(45.0)} * t1 * t1 - {_dlit(252.0)} * {_dlit(EP2)}
+           - {_dlit(3.0)} * c1 * c1) * d6 / {_dlit(720.0)}))
+      * {_dlit(RAD2DEG)} AS glat
+  FROM _i9)"""
 
 
 def utm_zone(lon: float) -> int:

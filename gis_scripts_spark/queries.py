@@ -1895,19 +1895,37 @@ FROM agg a JOIN nsrc n USING (tile_x, tile_y)
 """
 
 
+def _warp_fixture_pixels(i: int) -> np.ndarray:
+    """24x24x1 int16 scene for image i — integer-mixed so DuckDB re-derives
+    every pixel: v = (mix(i*131071 + r*8191 + c) >> 16) % 1000."""
+    r = np.arange(24, dtype=np.int64)[:, None]
+    c = np.arange(24, dtype=np.int64)[None, :]
+    x = np.int64(i) * 131071 + r * 8191 + c
+    h = (x * 2654435761 + 1013904223) % (1 << 32)
+    return ((h >> 16) % 1000).astype(np.int16)[..., None]
+
+
 def q_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CRS warp (rows-only: output is image bytes): deterministic scenes
-    reprojected to UTM via the from-scratch Snyder transforms
-    (index/proj.py) — per-image output grid + valid-pixel count + byte
-    checksum. Projection exactness proven in tests/test_proj_warp.py."""
+    """CRS warp under the FULL oracle (r5): deterministic integer-mixed
+    scenes reprojected to UTM 33N at 120 m via the from-scratch Snyder
+    transforms (index/proj.py). The REAL pixel pipeline runs (RAW1 encode
+    -> mapInPandas warp: 132-point boundary forward projection, TAP grid,
+    per-target-pixel INVERSE projection, nearest sample -> decode), and
+    DuckDB replays every step relationally: sql_utm_forward_ctes +
+    sql_utm_inverse_ctes reproduce both projection legs bit-for-bit
+    (tests/test_proj_oracle.py), the TAP/grid float math mirrors the
+    kernel's evaluation order, and the emitted per-image value/position
+    checksums are exact int64 sums. Warp exactness vs numpy stays pinned
+    in tests/test_proj_warp.py."""
+    from pyspark.sql.types import DoubleType, IntegerType, LongType, StringType, StructField, StructType
+
     from gis_scripts_spark.raster import codec as codec_mod
     from gis_scripts_spark.raster import warp as warp_mod
     from gis_scripts_spark.sources import synth as synth_mod
 
-    rng = np.random.default_rng(11)
     rows = []
     for i in range(12):
-        px = rng.integers(0, 1000, (24, 24, 1)).astype(np.int16)
+        px = _warp_fixture_pixels(i)
         rows.append(
             {
                 "image_id": f"wp_{i:03d}",
@@ -1920,11 +1938,115 @@ def q_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     df = spark.createDataFrame(pd.DataFrame(rows), schema=synth_mod.IMAGE_SCHEMA)
     out = warp_mod.reproject_raster(df, "utm:33n", 120.0, method="nearest")
-    return out.select(
-        "image_id", "crs", "w", "h",
-        F.round("x0", 2).alias("x0"), F.round("y0", 2).alias("y0"),
-        F.md5("bytes").alias("bytes_md5"),
+
+    chk_schema = StructType(
+        [
+            StructField("image_id", StringType()),
+            StructField("crs", StringType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("x0", DoubleType()),
+            StructField("y0", DoubleType()),
+            StructField("n_valid", LongType()),
+            StructField("px_sum", LongType()),
+            StructField("px_chk", LongType()),
+        ]
     )
+
+    def image_checksums(batches):
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                img = codec_mod.decode(bytes(row["bytes"]), row["fmt"])[:, :, 0]
+                val = img.astype(np.int64)
+                mask = val != -9999
+                r = np.arange(val.shape[0], dtype=np.int64)[:, None]
+                c = np.arange(val.shape[1], dtype=np.int64)[None, :]
+                wt = (((((r * 8191 + c) * 2654435761 + 1013904223) % (1 << 32)) >> 16) % 997) + 1
+                recs.append(
+                    {
+                        "image_id": row["image_id"],
+                        "crs": row["crs"],
+                        "w": int(row["w"]),
+                        "h": int(row["h"]),
+                        "x0": round(float(row["x0"]), 2),
+                        "y0": round(float(row["y0"]), 2),
+                        "n_valid": int(mask.sum()),
+                        "px_sum": int(val[mask].sum()),
+                        "px_chk": int((val[mask] * wt[mask]).sum()),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in chk_schema.fields])
+
+    return out.mapInPandas(image_checksums, chk_schema)
+
+
+def _sql_reproject_utm() -> str:
+    """The CRS warp replayed relationally: 132 boundary points -> forward
+    UTM -> TAP grid -> per-target-pixel inverse UTM -> nearest sample of
+    the integer-mixed source -> per-image checksums. Float expressions
+    mirror warp._warp_one's evaluation order exactly."""
+    d = proj_mod._dlit
+    res = d(120.0)
+    rd = d(0.001)  # RES_DEG
+    half = d(0.5)
+    fwd = proj_mod.sql_utm_forward_ctes("edges", "i", 33, lon_col="elon", lat_col="elat")
+    inv = proj_mod.sql_utm_inverse_ctes("tpx", "i, r, c, lon, lat, x0, y0, ow, oh",
+                                        33, e_col="tx", n_col="ty")
+    return f"""
+WITH imgs AS (
+  SELECT CAST(i AS BIGINT) AS i,
+         {d(14.0)} + CAST(i % 4 AS DOUBLE) * {d(0.03)} AS lon,
+         {d(51.8)} + CAST(i // 4 AS DOUBLE) * {d(0.03)} AS lat
+  FROM (SELECT unnest(range(0, 12)) AS i)),
+bsj AS (SELECT CAST(unnest(range(0, 33)) AS DOUBLE) / {d(32.0)} AS bs),
+grp AS (SELECT unnest(range(0, 4)) AS g),
+edges AS (
+  SELECT i,
+         CASE WHEN g IN (0, 1) THEN lon + (bs * {d(24.0)}) * {rd}
+              WHEN g = 2 THEN lon ELSE lon + {d(24.0)} * {rd} END AS elon,
+         CASE WHEN g = 0 THEN lat
+              WHEN g = 1 THEN lat + {d(24.0)} * {rd}
+              ELSE lat + (bs * {d(24.0)}) * {rd} END AS elat
+  FROM imgs, bsj, grp),
+{fwd},
+grid AS (
+  SELECT i, FLOOR(MIN(easting) / {res}) * {res} AS x0,
+         CEIL(MAX(northing) / {res}) * {res} AS y1,
+         GREATEST(CAST(CEIL((MAX(easting) - FLOOR(MIN(easting) / {res}) * {res}) / {res}) AS BIGINT), 1) AS ow,
+         GREATEST(CAST(CEIL((CEIL(MAX(northing) / {res}) * {res} - MIN(northing)) / {res}) AS BIGINT), 1) AS oh
+  FROM _utm GROUP BY i),
+tpx AS (
+  SELECT g.i, rr.r, cc.c, im.lon, im.lat, g.x0, g.y1 AS y0, g.ow, g.oh,
+         g.x0 + (CAST(cc.c AS DOUBLE) + {half}) * {res} AS tx,
+         g.y1 - (CAST(rr.r AS DOUBLE) + {half}) * {res} AS ty
+  FROM grid g
+  JOIN imgs im USING (i)
+  CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS r) rr
+  CROSS JOIN (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS c) cc
+  WHERE rr.r < g.oh AND cc.c < g.ow),
+{inv},
+sampled AS (
+  SELECT i, r, c, lon, lat, x0, y0, ow, oh,
+         CAST(FLOOR((glon - lon) / {rd} - {half} + {half}) AS BIGINT) AS ci,
+         CAST(FLOOR((lat + {d(24.0)} * {rd} - glat) / {rd} - {half} + {half}) AS BIGINT) AS ri
+  FROM _inv),
+vals AS (
+  SELECT i, r, c, x0, y0, ow, oh,
+         CASE WHEN ci >= 0 AND ci < 24 AND ri >= 0 AND ri < 24 THEN
+           (((i * 131071 + ri * 8191 + ci) * 2654435761 + 1013904223) % 4294967296 >> 16) % 1000
+         END AS v
+  FROM sampled)
+SELECT printf('wp_%03d', CAST(i AS INTEGER)) AS image_id,
+       'utm:33n' AS crs,
+       CAST(MAX(ow) AS INTEGER) AS w, CAST(MAX(oh) AS INTEGER) AS h,
+       ROUND(MAX(x0), 2) AS x0, ROUND(MAX(y0), 2) AS y0,
+       CAST(COUNT(v) AS BIGINT) AS n_valid,
+       CAST(COALESCE(SUM(v), 0) AS BIGINT) AS px_sum,
+       CAST(COALESCE(SUM(v * (((((r * 8191 + c) * 2654435761 + 1013904223)
+                                % 4294967296) >> 16) % 997 + 1)), 0) AS BIGINT) AS px_chk
+FROM vals GROUP BY i
+"""
 
 
 def q_reproject_rpc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2088,7 +2210,11 @@ ORACLES: dict[str, str] = {
     # mosaic_composite (r5): the REAL pixel paint pipeline runs; DuckDB
     # replays it relationally over the integer-mixed fixture pixels
     "mosaic_composite": SQL_MOSAIC_COMPOSITE,
-    # seamless_mosaic / reproject_utm / image_*: bytes pipelines ->
+    # reproject_utm (r5): both projection legs (forward for the TAP grid,
+    # inverse per target pixel) replayed bit-for-bit in SQL + nearest
+    # sample of the integer-mixed source — the full warp under the oracle
+    "reproject_utm": _sql_reproject_utm(),
+    # seamless_mosaic / reproject_rpc / image_*: bytes pipelines ->
     # rows-only; pixel exactness proven by numpy oracles in tests/
     # (test_mosaic.py, test_proj_warp.py, test_raster_ops.py).
     "topk_events_per_user": SQL_TOPK_EVENTS,

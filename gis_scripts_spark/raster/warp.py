@@ -55,8 +55,11 @@ def _sample(img: np.ndarray, fc: np.ndarray, fr: np.ndarray, oh: int, ow: int,
     fill = nodata if nodata is not None else 0.0
     out = np.full((oh * ow, img.shape[2]), fill, dtype=np.float64)
     if method == "nearest":
-        c = np.rint(fc).astype(np.int64)
-        r = np.rint(fr).astype(np.int64)
+        # floor(x + 0.5) — GDAL's nearest convention, and (unlike np.rint's
+        # ties-to-even) expressible verbatim in SQL, which lets the oracle
+        # replay the sampling (queries.SQL_REPROJECT_UTM)
+        c = np.floor(fc + 0.5).astype(np.int64)
+        r = np.floor(fr + 0.5).astype(np.int64)
         ok = (c >= 0) & (c < w) & (r >= 0) & (r < h)
         out[ok] = img[r[ok], c[ok], :].astype(np.float64)
     else:  # bilinear

@@ -137,3 +137,32 @@ def test_utm_forward_accuracy_unchanged():
     # series truncation dominates at |lat|→80 / zone edge: ~3e-7 deg ≈ 1 cm
     assert np.max(np.abs(lon2 - lon)) < 1e-6
     assert np.max(np.abs(lat2 - lat)) < 1e-7
+
+
+def test_utm_inverse_sql_bit_identical(con):
+    """sql_utm_inverse_ctes reproduces utm_inverse BIT-FOR-BIT — the
+    contract that puts the warp's inverse leg under the reproject_utm
+    full oracle."""
+    rng = np.random.default_rng(7)
+    n = 50000
+    e = rng.uniform(166000.0, 834000.0, n)  # zone-interior eastings
+    for north in (True, False):
+        nn = rng.uniform(0.0, 9330000.0, n) + (0.0 if north else 1000000.0)
+        lon, lat = proj.utm_inverse(e, nn, 33, north=north)
+        con.register("tinv", pd.DataFrame({"k": np.arange(n), "easting": e, "northing": nn}))
+        d = _fetch(con, "WITH " + proj.sql_utm_inverse_ctes("tinv", "k", 33, north=north)
+                   + "\nSELECT k, glon, glat FROM _inv ORDER BY k")
+        assert int(np.sum(d["glon"] != lon)) == 0
+        assert int(np.sum(d["glat"] != lat)) == 0
+
+
+def test_utm_inverse_roundtrip_accuracy():
+    """Accuracy unchanged by the bit-reproducible restructuring: forward
+    then inverse lands within 1e-7 deg across the zone."""
+    rng = np.random.default_rng(8)
+    lon = rng.uniform(12.0, 18.0, 20000)
+    lat = rng.uniform(-80.0, 80.0, 20000)
+    e, n = proj.utm_forward(lon, lat, 33)
+    lon2, lat2 = proj.utm_inverse(e, n, 33)
+    assert np.abs(lon2 - lon).max() < 1e-7
+    assert np.abs(lat2 - lat).max() < 1e-7

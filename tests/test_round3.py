@@ -402,8 +402,8 @@ def test_rpc_warp_nearest_matches_numpy(spark):
     tys = r["y0"] - (np.arange(r["h"]) + 0.5) * res
     glon, glat = np.meshgrid(txs, tys)
     fc, fr = proj.rpc_ground_to_image(rpc, glon.ravel(), glat.ravel(), 120.0)
-    c = np.rint(fc).astype(np.int64)
-    rr = np.rint(fr).astype(np.int64)
+    c = np.floor(fc + 0.5).astype(np.int64)
+    rr = np.floor(fr + 0.5).astype(np.int64)
     ok = (c >= 0) & (c < 96) & (rr >= 0) & (rr < 96)
     want = np.full(glon.size, -9999.0)
     want[ok] = src[rr[ok], c[ok], 0]
