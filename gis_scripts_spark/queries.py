@@ -1520,25 +1520,64 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_image_pipeline_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """END-TO-END image engine on the input_hint table (rows-only driver
-    check; deterministic synth — identical at any parallelism): synthesize
-    image+caption rows (real PNG/QNT bytes + phash), tile-assign, PIP-join
-    against the AOI fixtures, zonal rollup. The full north-rule pipeline
-    inside the correctness gate."""
+    """END-TO-END image engine on the input_hint table under the FULL
+    oracle (r5): synthesize image+caption rows (real PNG/QNT bytes +
+    phash), tile-assign (Web Mercator XYZ + quadkey + S2), PIP-join,
+    zonal rollup — the full north-rule pipeline inside the correctness
+    gate. The geo columns are overridden with the integer-derived lon/lat
+    (the bytes/caption/phash columns still ride the whole pipeline), and
+    the AOI side uses the nation-derived rect WKB polygons, so DuckDB
+    re-derives the rollup end to end — including the Web Mercator
+    asinh(tan(lat)) tiling. Fixture size scales with the events count."""
     from gis_scripts_spark.operators import tile_assign as ta
     from gis_scripts_spark.sources import synth
 
-    n = 600 if "0.01" in sf_dir else 200
+    ev_n = _pq(spark, sf_dir, "events").count()
+    n = max(200, min(600, ev_n // 25))
     images = synth.images_df(spark, n, seed=42)
+    images = derived_lonlat(
+        images.withColumn("_k", F.substring("image_id", 5, 8).cast("long")), "_k"
+    )
     assigned = ta.assign_tiles(images, grid_z=7, tile_z=12, s2_level=12)
     keys = assigned.select("image_id", "lon", "lat", "quadkey", "s2_cell", "phash")
-    polys = synth.aoi_polygons_df(spark, seed=42)
+    polys = _aoi_polys_df(spark, sf_dir)
     pairs = pip_join.pip_join(keys, polys, z=7)
     return pairs.groupBy("poly_id").agg(
         F.count(F.lit(1)).alias("n_images"),
         F.countDistinct("quadkey").alias("n_tiles"),
         F.min("image_id").alias("first_image"),
     )
+
+
+def _sql_image_pipeline_zonal() -> str:
+    z = 12
+    digits = " || ".join(
+        f"CAST(((ty >> {i}) & 1) * 2 + ((tx >> {i}) & 1) AS VARCHAR)"
+        for i in range(z - 1, -1, -1)
+    )
+    return f"""
+WITH nimg AS (SELECT GREATEST(200, LEAST(600, COUNT(*) // 25)) AS n FROM events),
+imgs AS (SELECT CAST(unnest(range(0, (SELECT n FROM nimg))) AS BIGINT) AS i),
+pts AS (SELECT i, {_SQL_LON.format(k='i')} AS lon, {_SQL_LAT.format(k='i')} AS lat FROM imgs),
+rects AS ({_SQL_NATION_RECTS}),
+pairs AS (
+  SELECT i, lon, lat, poly_id
+  FROM pts JOIN rects ON lon > x0 AND lon < x1 AND lat > y0 AND lat < y1),
+tiled AS (
+  -- asinh(t) spelled as LN(t + SQRT(t*t + 1)) (DuckDB has no ASINH);
+  -- sub-ulp engine differences only matter within ~1e-13 of a 1/4096
+  -- tile boundary — none of the fixed integer-derived points sit there
+  SELECT i, poly_id, tn.t,
+    LEAST(GREATEST(CAST(FLOOR((lon + 180.0) / 360.0 * {float(1 << z)!r}) AS BIGINT), 0), {(1 << z) - 1}) AS tx,
+    LEAST(GREATEST(CAST(FLOOR((1.0 - LN(tn.t + SQRT(tn.t * tn.t + 1.0)) / PI()) / 2.0
+        * {float(1 << z)!r}) AS BIGINT), 0), {(1 << z) - 1}) AS ty
+  FROM pairs,
+       LATERAL (SELECT TAN(RADIANS(GREATEST(-85.05112878, LEAST(85.05112878, lat)))) AS t) tn)
+SELECT poly_id, COUNT(*) AS n_images,
+       COUNT(DISTINCT {digits}) AS n_tiles,
+       MIN(printf('img_%08d', CAST(i AS INTEGER))) AS first_image
+FROM tiled GROUP BY poly_id
+"""
 
 
 def ensure_phash_images_fixture(spark: SparkSession, sf_dir: str) -> str:
@@ -2214,9 +2253,13 @@ ORACLES: dict[str, str] = {
     # inverse per target pixel) replayed bit-for-bit in SQL + nearest
     # sample of the integer-mixed source — the full warp under the oracle
     "reproject_utm": _sql_reproject_utm(),
-    # seamless_mosaic / reproject_rpc / image_*: bytes pipelines ->
-    # rows-only; pixel exactness proven by numpy oracles in tests/
-    # (test_mosaic.py, test_proj_warp.py, test_raster_ops.py).
+    # image_pipeline_zonal (r5): the end-to-end north-rule pipeline (real
+    # bytes through tile-assign + PIP + rollup) with integer-derived geo
+    # columns — DuckDB re-derives the rollup incl. Web Mercator tiling
+    "image_pipeline_zonal": _sql_image_pipeline_zonal(),
+    # seamless_mosaic / reproject_rpc / image_histogram_match: bytes
+    # pipelines -> rows-only; pixel exactness proven by numpy oracles in
+    # tests/ (test_mosaic.py, test_proj_warp.py, test_raster_ops.py).
     "topk_events_per_user": SQL_TOPK_EVENTS,
     "zonal_event_stats": SQL_ZONAL_EVENTS,
     "hex_zonal_stats": SQL_HEX_ZONAL,
