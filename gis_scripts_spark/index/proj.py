@@ -413,11 +413,10 @@ def rpc_poly(c: np.ndarray, L: np.ndarray, P: np.ndarray, H: np.ndarray) -> np.n
             + c[18] * P * P * H + c[19] * (H * H * H))
 
 
-def sql_rpc_poly(coeffs, L: str, P: str, H: str) -> str:
-    """DuckDB SQL expression reproducing ``rpc_poly`` bit-for-bit for
-    literal coefficients: same RPC00B term order, same left-associative
-    sum, cubes as the same multiply chains."""
-    c = [_dlit(v) for v in np.asarray(coeffs, np.float64)]
+def _rpc_poly_chain(c: list, L: str, P: str, H: str) -> str:
+    """The rpc_poly sum chain over arbitrary coefficient SQL expressions —
+    same RPC00B term order, same left-associative sum, cubes as the same
+    multiply chains."""
     return (
         f"({c[0]} + {c[1]} * {L} + {c[2]} * {P} + {c[3]} * {H}"
         f" + {c[4]} * {L} * {P} + {c[5]} * {L} * {H} + {c[6]} * {P} * {H}"
@@ -428,6 +427,19 @@ def sql_rpc_poly(coeffs, L: str, P: str, H: str) -> str:
         f" + {c[16]} * {P} * {H} * {H} + {c[17]} * {L} * {L} * {H}"
         f" + {c[18]} * {P} * {P} * {H} + {c[19]} * ({H} * {H} * {H}))"
     )
+
+
+def sql_rpc_poly(coeffs, L: str, P: str, H: str) -> str:
+    """DuckDB SQL expression reproducing ``rpc_poly`` bit-for-bit for
+    literal coefficients."""
+    return _rpc_poly_chain([_dlit(v) for v in np.asarray(coeffs, np.float64)], L, P, H)
+
+
+def sql_rpc_poly_cols(pfx: str, L: str, P: str, H: str) -> str:
+    """Same chain with coefficients read from columns ``{pfx}0..{pfx}19``
+    — lets one SQL body serve many cameras (a joined coefficient table),
+    e.g. the reproject_rpc oracle's per-image VALUES rows."""
+    return _rpc_poly_chain([f"{pfx}{k}" for k in range(20)], L, P, H)
 
 
 def sql_rpc_image_ctes(src: str, carry: str, rpc: dict,

@@ -2088,43 +2088,225 @@ FROM vals GROUP BY i
 """
 
 
+def _rpc_fixture_cam(i: int) -> dict:
+    """Camera i of the reproject_rpc fixture — shared by the Spark query
+    and the DuckDB oracle's coefficient VALUES rows."""
+    z20 = [0.0] * 20
+    line_num = list(z20); line_num[0:4] = [0.001, 0.02 + 0.001 * i, -1.0, 0.01]
+    samp_num = list(z20); samp_num[0:4] = [-0.002, 1.0, 0.03 - 0.002 * i, -0.01]
+    den = list(z20); den[0] = 1.0; den[4] = 0.0003
+    return {
+        "LINE_OFF": 24.0, "SAMP_OFF": 24.0,
+        "LAT_OFF": 34.0 + 0.05 * i, "LONG_OFF": -119.0 + 0.06 * i,
+        "HEIGHT_OFF": 0.0, "LINE_SCALE": 26.0, "SAMP_SCALE": 26.0,
+        "LAT_SCALE": 0.02, "LONG_SCALE": 0.025, "HEIGHT_SCALE": 500.0,
+        "LINE_NUM_COEFF": line_num, "LINE_DEN_COEFF": den,
+        "SAMP_NUM_COEFF": samp_num, "SAMP_DEN_COEFF": den,
+    }
+
+
+def _rpc_fixture_pixels(i: int) -> np.ndarray:
+    """48x48x1 int16 scene for camera i — integer-mixed (SQL-re-derivable)."""
+    r = np.arange(48, dtype=np.int64)[:, None]
+    c = np.arange(48, dtype=np.int64)[None, :]
+    x = np.int64(i) * 131071 + r * 8191 + c
+    h = (x * 2654435761 + 1013904223) % (1 << 32)
+    return ((h >> 16) % 1000).astype(np.int16)[..., None]
+
+
 def q_reproject_rpc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RPC georeferencing warp (R5, rows-only: output is image bytes):
+    """RPC georeferencing warp (R5) under the FULL oracle (r5):
     un-georeferenced L1B-style scenes + 20-term rational polynomial
     coefficients -> geographic grid (``gdalwarp -rpc``,
-    seagrass_lib.py:232-242). Deterministic synth; forward/inverse/warp
-    exactness proven in tests/test_round3.py."""
-    from gis_scripts_spark.index import proj as proj_mod
+    seagrass_lib.py:232-242). The REAL pipeline runs (mapInPandas warp:
+    132-point boundary Newton inversion of the rational model, TAP grid,
+    per-target-pixel ground->image projection, nearest sample), and the
+    whole chain is pure +,-,*,/ — so the DuckDB oracle replays it exactly:
+    a RECURSIVE CTE runs the same 15 finite-difference Newton steps over
+    per-camera coefficient columns, then the forward polynomials sample
+    the integer-mixed source. Grid origins are emitted as exact integer
+    grid indices (x0k/y0k = origin / res) and pixels as value/position
+    checksums."""
+    from pyspark.sql.types import DoubleType, IntegerType, LongType, StringType, StructField, StructType
+
     from gis_scripts_spark.raster import codec as codec_mod
     from gis_scripts_spark.raster import warp as warp_mod
 
-    z20 = [0.0] * 20
     rows = []
-    rng = np.random.default_rng(17)
     for i in range(8):
-        px = rng.integers(0, 2500, (48, 48, 1)).astype(np.int16)
-        line_num = list(z20); line_num[0:4] = [0.001, 0.02 + 0.001 * i, -1.0, 0.01]
-        samp_num = list(z20); samp_num[0:4] = [-0.002, 1.0, 0.03 - 0.002 * i, -0.01]
-        den = list(z20); den[0] = 1.0; den[4] = 0.0003
-        rpc = proj_mod.rpc_pack({
-            "LINE_OFF": 24.0, "SAMP_OFF": 24.0,
-            "LAT_OFF": 34.0 + 0.05 * i, "LONG_OFF": -119.0 + 0.06 * i,
-            "HEIGHT_OFF": 0.0, "LINE_SCALE": 26.0, "SAMP_SCALE": 26.0,
-            "LAT_SCALE": 0.02, "LONG_SCALE": 0.025, "HEIGHT_SCALE": 500.0,
-            "LINE_NUM_COEFF": line_num, "LINE_DEN_COEFF": den,
-            "SAMP_NUM_COEFF": samp_num, "SAMP_DEN_COEFF": den,
-        })
+        px = _rpc_fixture_pixels(i)
         rows.append({
             "image_id": f"rpc_{i:03d}", "bytes": bytearray(codec_mod.raw_encode(px)),
-            "fmt": "raw", "rpc": rpc, "nodata": -9999.0,
+            "fmt": "raw", "rpc": proj_mod.rpc_pack(_rpc_fixture_cam(i)),
+            "nodata": -9999.0,
         })
     df = spark.createDataFrame(pd.DataFrame(rows))
     out = warp_mod.reproject_raster_rpc(df, 1e-3, height=50.0, method="nearest")
-    return out.select(
-        "image_id", "crs", "w", "h",
-        F.round("x0", 6).alias("x0"), F.round("y0", 6).alias("y0"),
-        F.md5("bytes").alias("bytes_md5"),
+
+    chk_schema = StructType(
+        [
+            StructField("image_id", StringType()),
+            StructField("crs", StringType()),
+            StructField("w", IntegerType()),
+            StructField("h", IntegerType()),
+            StructField("x0k", LongType()),
+            StructField("y0k", LongType()),
+            StructField("n_valid", LongType()),
+            StructField("px_sum", LongType()),
+            StructField("px_chk", LongType()),
+        ]
     )
+
+    def image_checksums(batches):
+        for pdf in batches:
+            recs = []
+            for _, row in pdf.iterrows():
+                img = codec_mod.decode(bytes(row["bytes"]), row["fmt"])[:, :, 0]
+                val = img.astype(np.int64)
+                mask = val != -9999
+                r = np.arange(val.shape[0], dtype=np.int64)[:, None]
+                c = np.arange(val.shape[1], dtype=np.int64)[None, :]
+                wt = (((((r * 8191 + c) * 2654435761 + 1013904223) % (1 << 32)) >> 16) % 997) + 1
+                recs.append(
+                    {
+                        "image_id": row["image_id"],
+                        "crs": row["crs"],
+                        "w": int(row["w"]),
+                        "h": int(row["h"]),
+                        "x0k": int(round(float(row["x0"]) * 1000.0)),
+                        "y0k": int(round(float(row["y0"]) * 1000.0)),
+                        "n_valid": int(mask.sum()),
+                        "px_sum": int(val[mask].sum()),
+                        "px_chk": int((val[mask] * wt[mask]).sum()),
+                    }
+                )
+            yield pd.DataFrame(recs, columns=[f.name for f in chk_schema.fields])
+
+    return out.mapInPandas(image_checksums, chk_schema)
+
+
+def _sql_reproject_rpc() -> str:
+    """The RPC warp replayed relationally (all ops +,-,*,/ => bit-exact by
+    construction): recursive-CTE Newton inversion for the 132 boundary
+    points, TAP grid, forward rational projection per target pixel,
+    nearest sample of the integer-mixed source, per-image checksums."""
+    d = proj_mod._dlit
+    eps = d(1e-6)
+    res = d(0.001)
+    half = d(0.5)
+
+    cam_cols = (
+        ["l_off", "s_off", "lat_off", "lon_off", "h_off",
+         "l_sc", "s_sc", "lat_sc", "lon_sc", "h_sc"]
+        + [f"ln{k}" for k in range(20)] + [f"ld{k}" for k in range(20)]
+        + [f"sn{k}" for k in range(20)] + [f"sd{k}" for k in range(20)]
+    )
+    cam_rows = []
+    for i in range(8):
+        cam = _rpc_fixture_cam(i)
+        vals = [cam["LINE_OFF"], cam["SAMP_OFF"], cam["LAT_OFF"], cam["LONG_OFF"],
+                cam["HEIGHT_OFF"], cam["LINE_SCALE"], cam["SAMP_SCALE"],
+                cam["LAT_SCALE"], cam["LONG_SCALE"], cam["HEIGHT_SCALE"],
+                *cam["LINE_NUM_COEFF"], *cam["LINE_DEN_COEFF"],
+                *cam["SAMP_NUM_COEFF"], *cam["SAMP_DEN_COEFF"]]
+        cam_rows.append("(" + ", ".join([f"CAST({i} AS BIGINT)"] + [d(v) for v in vals]) + ")")
+    cams = ("cams(i, " + ", ".join(cam_cols) + ") AS (VALUES\n  "
+            + ",\n  ".join(cam_rows) + ")")
+
+    def p(pfx, L, P):
+        return proj_mod.sql_rpc_poly_cols(pfx, L, P, "H")
+
+    c0 = f"{p('sn', 'L', 'P')} / {p('sd', 'L', 'P')}"
+    r0 = f"{p('ln', 'L', 'P')} / {p('ld', 'L', 'P')}"
+    cl = f"{p('sn', f'(L + {eps})', 'P')} / {p('sd', f'(L + {eps})', 'P')}"
+    rl = f"{p('ln', f'(L + {eps})', 'P')} / {p('ld', f'(L + {eps})', 'P')}"
+    cp = f"{p('sn', 'L', f'(P + {eps})')} / {p('sd', 'L', f'(P + {eps})')}"
+    rp = f"{p('ln', 'L', f'(P + {eps})')} / {p('ld', 'L', f'(P + {eps})')}"
+    fcol = f"({p('sn', 'L', 'P')} / {p('sd', 'L', 'P')}) * s_sc + s_off"
+    frow = f"({p('ln', 'L', 'P')} / {p('ld', 'L', 'P')}) * l_sc + l_off"
+
+    return f"""
+WITH RECURSIVE {cams},
+bsj AS (SELECT CAST(unnest(range(0, 33)) AS DOUBLE) / {d(32.0)} AS bs,
+               CAST(unnest(range(0, 33)) AS BIGINT) AS j),
+grp AS (SELECT unnest(range(0, 4)) AS g),
+targets AS (
+  SELECT cams.i, g * 33 + j AS eid,
+         (CASE WHEN g IN (0, 1) THEN bs * {d(47.0)}
+               WHEN g = 2 THEN {d(0.0)} ELSE {d(47.0)} END - s_off) / s_sc AS tc,
+         (CASE WHEN g = 0 THEN {d(0.0)} WHEN g = 1 THEN {d(47.0)}
+               ELSE bs * {d(47.0)} END - l_off) / l_sc AS tr,
+         ({d(50.0)} - h_off) / h_sc AS H
+  FROM cams, bsj, grp),
+newton AS (
+  SELECT i, eid, tc, tr, H, 0 AS step,
+         CAST('0.0' AS DOUBLE) AS L, CAST('0.0' AS DOUBLE) AS P
+  FROM targets
+  UNION ALL
+  SELECT i, eid, tc, tr, H, step + 1,
+         L - (j11 * fx - j01 * fy) / det AS L,
+         P - (-j10 * fx + j00 * fy) / det AS P
+  FROM (
+    SELECT i, eid, tc, tr, H, step, L, P, fx, fy, j00, j01, j10, j11,
+           CASE WHEN ABS(j00 * j11 - j01 * j10) < {d(1e-15)} THEN {d(1e-15)}
+                ELSE j00 * j11 - j01 * j10 END AS det
+    FROM (
+      SELECT i, eid, tc, tr, H, step, L, P,
+             c0 - tc AS fx, r0 - tr AS fy,
+             (cl - c0) / {eps} AS j00, (cp - c0) / {eps} AS j01,
+             (rl - r0) / {eps} AS j10, (rp - r0) / {eps} AS j11
+      FROM (
+        SELECT n.i, n.eid, n.tc, n.tr, n.H, n.step, n.L, n.P,
+               {c0} AS c0, {r0} AS r0, {cl} AS cl, {rl} AS rl,
+               {cp} AS cp, {rp} AS rp
+        FROM newton n JOIN cams USING (i)
+        WHERE n.step < 15))) ),
+inv AS (
+  SELECT n.i, n.eid, n.L * lon_sc + lon_off AS elon, n.P * lat_sc + lat_off AS elat
+  FROM newton n JOIN cams USING (i) WHERE n.step = 15),
+grid AS (
+  SELECT i,
+         CAST(FLOOR(MIN(elon) / {res}) AS BIGINT) AS kx,
+         CAST(CEIL(MAX(elat) / {res}) AS BIGINT) AS ky,
+         FLOOR(MIN(elon) / {res}) * {res} AS x0,
+         CEIL(MAX(elat) / {res}) * {res} AS y1,
+         GREATEST(CAST(CEIL((MAX(elon) - FLOOR(MIN(elon) / {res}) * {res}) / {res}) AS BIGINT), 1) AS ow,
+         GREATEST(CAST(CEIL((CEIL(MAX(elat) / {res}) * {res} - MIN(elat)) / {res}) AS BIGINT), 1) AS oh
+  FROM inv GROUP BY i),
+tpx AS (
+  SELECT g.i, rr.r, cc.c, g.kx, g.ky, g.ow, g.oh,
+         g.x0 + (CAST(cc.c AS DOUBLE) + {half}) * {res} AS tx,
+         g.y1 - (CAST(rr.r AS DOUBLE) + {half}) * {res} AS ty
+  FROM grid g
+  CROSS JOIN (SELECT CAST(unnest(range(0, 96)) AS BIGINT) AS r) rr
+  CROSS JOIN (SELECT CAST(unnest(range(0, 96)) AS BIGINT) AS c) cc
+  WHERE rr.r < g.oh AND cc.c < g.ow),
+tnorm AS (
+  SELECT t.*, cams.* EXCLUDE (i),
+         (t.tx - lon_off) / lon_sc AS L, (t.ty - lat_off) / lat_sc AS P,
+         ({d(50.0)} - h_off) / h_sc AS H
+  FROM tpx t JOIN cams USING (i)),
+samp AS (
+  SELECT i, r, c, kx, ky, ow, oh,
+         CAST(FLOOR(({fcol}) + {half}) AS BIGINT) AS ci,
+         CAST(FLOOR(({frow}) + {half}) AS BIGINT) AS ri
+  FROM tnorm),
+vals AS (
+  SELECT i, r, c, kx, ky, ow, oh,
+         CASE WHEN ci >= 0 AND ci < 48 AND ri >= 0 AND ri < 48 THEN
+           (((i * 131071 + ri * 8191 + ci) * 2654435761 + 1013904223) % 4294967296 >> 16) % 1000
+         END AS v
+  FROM samp)
+SELECT printf('rpc_%03d', CAST(i AS INTEGER)) AS image_id,
+       'lonlat' AS crs,
+       CAST(MAX(ow) AS INTEGER) AS w, CAST(MAX(oh) AS INTEGER) AS h,
+       MAX(kx) AS x0k, MAX(ky) AS y0k,
+       CAST(COUNT(v) AS BIGINT) AS n_valid,
+       CAST(COALESCE(SUM(v), 0) AS BIGINT) AS px_sum,
+       CAST(COALESCE(SUM(v * (((((r * 8191 + c) * 2654435761 + 1013904223)
+                                % 4294967296) >> 16) % 997 + 1)), 0) AS BIGINT) AS px_chk
+FROM vals GROUP BY i
+"""
 
 
 def q_seamless_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2257,9 +2439,12 @@ ORACLES: dict[str, str] = {
     # bytes through tile-assign + PIP + rollup) with integer-derived geo
     # columns — DuckDB re-derives the rollup incl. Web Mercator tiling
     "image_pipeline_zonal": _sql_image_pipeline_zonal(),
-    # seamless_mosaic / reproject_rpc / image_histogram_match: bytes
-    # pipelines -> rows-only; pixel exactness proven by numpy oracles in
-    # tests/ (test_mosaic.py, test_proj_warp.py, test_raster_ops.py).
+    # reproject_rpc (r5): the whole RPC chain is +,-,*,/ only, so the
+    # oracle replays it exactly — recursive-CTE Newton inversion included
+    "reproject_rpc": _sql_reproject_rpc(),
+    # seamless_mosaic / image_histogram_match: float solves (lstsq gain,
+    # gamma fit) -> rows-only; pixel exactness proven by numpy oracles in
+    # tests/ (test_mosaic.py, test_raster_ops.py).
     "topk_events_per_user": SQL_TOPK_EVENTS,
     "zonal_event_stats": SQL_ZONAL_EVENTS,
     "hex_zonal_stats": SQL_HEX_ZONAL,
