@@ -188,10 +188,14 @@ def video_frame_count(buf: bytes) -> int:
         from gis_scripts_spark.raster.avi import avi_frame_count
 
         return avi_frame_count(bytes(buf))
+    from gis_scripts_spark.raster.mp4 import is_mp4, mp4_frame_count
+
+    if is_mp4(bytes(buf)):  # ISO-BMFF: sample-table walk, no decode
+        return mp4_frame_count(bytes(buf))
     if bytes(buf[:4]) != b"VID1":
         raise NotImplementedError(
-            "only VID1, animated GIF and AVI/MJPEG supported in-sandbox "
-            "(no h264/vp9 codecs)"
+            "only VID1, animated GIF, AVI/MJPEG and MP4/motion-JPEG "
+            "supported in-sandbox (no h264/vp9 codecs)"
         )
     return struct.unpack_from("<I", buf, 4)[0]
 
@@ -215,6 +219,13 @@ def video_iter_frames(buf: bytes):
         from gis_scripts_spark.raster.avi import avi_iter_frames
 
         yield from avi_iter_frames(bytes(buf))
+        return
+    from gis_scripts_spark.raster.mp4 import is_mp4, mp4_iter_frames
+
+    if is_mp4(bytes(buf)):
+        # motion-JPEG samples are self-contained JPEGs (inter-coded
+        # codecs raise inside mp4_iter_frames — the honest boundary)
+        yield from mp4_iter_frames(bytes(buf))
         return
     n = video_frame_count(buf)
     off = 8

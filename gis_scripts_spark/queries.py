@@ -1443,14 +1443,14 @@ def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video modality in the driver suite (rows-only: container walks over
-    real bytes have no SQL form; codec exactness lives in tests/test_avi.py):
-    deterministic AVI videos are synthesized from event keys — even keys as
-    raw-DIB (lossless) AVIs, odd keys as MJPEG with the AVI1 stripped-DHT
-    layout riding the from-scratch JPEG codec — then exploded through
-    sample_frames and re-decoded. SELF-VERIFYING: each output row carries
-    `px_ok` (DIB: bit-exact equality with the re-derived source frame;
-    MJPG: PSNR >= 40 dB), so a container/codec regression is
-    driver-visible."""
+    real bytes have no SQL form; codec exactness lives in tests/test_avi.py
+    + test_mp4.py): deterministic videos are synthesized from event keys —
+    keys%3==0 as raw-DIB (lossless) AVIs, %3==1 as MJPEG with the AVI1
+    stripped-DHT layout, %3==2 as MP4/motion-JPEG (ISO-BMFF, raster/mp4.py)
+    — then exploded through sample_frames and re-decoded. SELF-VERIFYING:
+    each output row carries `px_ok` (DIB: bit-exact equality with the
+    re-derived source frame; MJPEG: PSNR >= 40 dB), so a container/codec
+    regression is driver-visible."""
     from gis_scripts_spark.operators import multimodal as mm
     from gis_scripts_spark.raster import avi as avi_mod
     from gis_scripts_spark.raster import codec as codec_mod
@@ -1470,14 +1470,19 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         return np.clip(np.stack(chans, axis=-1), 0, 255).astype(np.uint8)
 
     def make_avis(batches):
+        from gis_scripts_spark.raster import mp4 as mp4_mod
+
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
                 k = int(r["event_id"])
                 frames = [scene(k, i) for i in range(n_frames)]
-                buf = avi_mod.avi_encode(
-                    frames, compressed=bool(k % 2), strip_dht=bool(k % 2)
-                )
+                if k % 3 == 2:  # MP4/motion-JPEG container (raster/mp4.py)
+                    buf = mp4_mod.mp4_encode(frames)
+                else:  # AVI: raw-DIB (k%3==0) or AVI1 stripped-DHT MJPEG
+                    buf = avi_mod.avi_encode(
+                        frames, compressed=bool(k % 3 == 1), strip_dht=bool(k % 3 == 1)
+                    )
                 rows.append((k, buf))
             yield pd.DataFrame(rows, columns=["video_id", "bytes"])
 
@@ -1504,8 +1509,8 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 src = scene(k, i)
                 ok = (
                     bool(np.array_equal(img, src))
-                    if k % 2 == 0  # DIB path: lossless
-                    else bool(codec_mod.psnr(src, img) >= 40.0)
+                    if k % 3 == 0  # DIB path: lossless
+                    else bool(codec_mod.psnr(src, img) >= 40.0)  # MJPEG (AVI or MP4)
                 )
                 ks.append(k)
                 idxs.append(i)
