@@ -44,15 +44,24 @@ def audio_encode(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
 
 
 def audio_decode(buf: bytes) -> tuple[np.ndarray, int]:
-    """Dispatch: real RIFF/WAV (PCM + IEEE float, the web's dominant
-    uncompressed audio container) or the AUD1 test container. Compressed
-    codecs (mp3/ogg/aac) raise — honest sandbox boundary."""
+    """Dispatch: real RIFF/WAV (PCM + IEEE float), real FLAC (the
+    from-scratch lossless codec, raster/flac.py), or the AUD1 test
+    container. Perceptual codecs (mp3/ogg/aac) raise — honest sandbox
+    boundary, now at actual LOSSY bitstreams."""
     magic = bytes(buf[:4])
     if magic == b"RIFF":
         return wav_decode(buf)
+    if magic == b"fLaC":
+        from gis_scripts_spark.raster.flac import flac_decode
+
+        ints, sr, bps = flac_decode(bytes(buf))
+        # same normalization as the WAV PCM path at the same depth
+        s = ints.astype(np.float64) / float((1 << (bps - 1)) - 1)
+        return (s[:, 0] if s.shape[1] == 1 else s), sr
     if magic != b"AUD1":
         raise NotImplementedError(
-            "only WAV (RIFF PCM/float) and AUD1 supported in-sandbox (no mp3/ogg codecs)"
+            "only WAV (RIFF PCM/float), FLAC and AUD1 supported in-sandbox "
+            "(no mp3/ogg/aac codecs)"
         )
     sr, n = struct.unpack_from("<II", buf, 4)
     return np.frombuffer(buf, dtype="<i2", count=n, offset=12).astype(np.float64) / 32767.0, sr

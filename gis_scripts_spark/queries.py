@@ -1389,12 +1389,15 @@ SELECT event_type, event_id FROM (
 def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio modality in the driver suite (rows-only: FFT has no ANSI-SQL
     form; stft/mel exactness is pinned in tests/test_multimodal.py against
-    a literal DFT): deterministic WAV clips are synthesized from event
-    keys (two-tone sine mixtures, real RIFF/PCM bytes through wav_encode),
-    decoded back through the RIFF parser, and run through the STFT
-    front-end; per-clip rollup = dominant bin + frame count. The dominant
-    bin must equal the louder tone's bin — self-verifying like
-    cog_roundtrip (`bin_ok` is computed in the result)."""
+    a literal DFT): deterministic clips are synthesized from event keys
+    (two-tone sine mixtures) — even keys as real RIFF/PCM WAV, odd keys as
+    real FLAC through the from-scratch lossless codec (raster/flac.py;
+    identical 16-bit quantization, so the spectra are container-
+    independent) — decoded back through the respective parser and run
+    through the STFT front-end; per-clip rollup = dominant bin + frame
+    count. The dominant bin must equal the louder tone's bin —
+    self-verifying like cog_roundtrip (`bin_ok` is computed in the
+    result)."""
     from gis_scripts_spark.operators import multimodal as mm
 
     n = 60 if "0.01" in sf_dir else 40
@@ -1412,7 +1415,12 @@ def q_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
                 t = np.arange(sr, dtype=np.float64)
                 wave = 0.5 * np.sin(2 * np.pi * (b1 * sr / n_fft) * t / sr) \
                     + 0.2 * np.sin(2 * np.pi * (b2 * sr / n_fft) * t / sr)
-                rows.append((k, mm.wav_encode(wave, sr)))
+                if k % 2:  # FLAC container (same 16-bit quantization)
+                    from gis_scripts_spark.raster import flac as flac_mod
+
+                    rows.append((k, flac_mod.flac_encode(wave, sr)))
+                else:
+                    rows.append((k, mm.wav_encode(wave, sr)))
             yield pd.DataFrame(rows, columns=["clip_id", "bytes"])
 
     from pyspark.sql.types import BinaryType as _Bin
