@@ -189,13 +189,19 @@ def _lsh_quantize(m: np.ndarray) -> np.ndarray:
 def lsh_signature_udf(dim: int, n_planes: int = 16, seed: int = 7):
     """Random-hyperplane (SimHash) signature for cosine LSH: sign pattern of
     `n_planes` fixed mixed-Rademacher projections over quantized components,
-    packed into an int64 bucket key."""
-    planes = _lsh_plane_signs(dim, n_planes, seed)
+    packed into an int64 bucket key.
+
+    The matmul runs in float64 for BLAS speed but stays EXACT integer
+    arithmetic: every product q*s and every partial sum is an integer with
+    |value| <= dim * 2^25 << 2^53, so no float64 addition ever rounds —
+    the signs are bit-identical to the int64 formulation (and to the SQL
+    mirror's BIGINT sums)."""
+    planes = _lsh_plane_signs(dim, n_planes, seed).astype(np.float64)
 
     @F.pandas_udf(LongType())
     def sig(vec: pd.Series) -> pd.Series:
-        m = _lsh_quantize(np.stack(vec.to_numpy()))  # (batch, dim) int64
-        bits = (m @ planes) >= 0
+        m = _lsh_quantize(np.stack(vec.to_numpy())).astype(np.float64)
+        bits = (m @ planes) >= 0.0
         weights = (1 << np.arange(n_planes, dtype=np.int64))
         return pd.Series(bits @ weights)
 
@@ -207,16 +213,18 @@ def lsh_multi_signature_udf(dim: int, n_planes: int, n_tables: int, seed: int = 
     array<long> of length n_tables (one packed bucket key per table), so
     the source is scanned once instead of once per table."""
     # per-table seeds identical to lsh_signature_udf(seed=seed+t) so the
-    # buckets (hence results) match the per-table formulation exactly
+    # buckets (hence results) match the per-table formulation exactly.
+    # float64 matmul for BLAS speed — exact integer arithmetic throughout
+    # (see lsh_signature_udf), signs bit-identical to the int64/SQL form.
     planes = np.hstack(
         [_lsh_plane_signs(dim, n_planes, seed + t) for t in range(n_tables)]
-    )
+    ).astype(np.float64)
     weights = (1 << np.arange(n_planes, dtype=np.int64))
 
     @F.pandas_udf(ArrayType(LongType()))
     def sigs(vec: pd.Series) -> pd.Series:
-        m = _lsh_quantize(np.stack(vec.to_numpy()))  # (batch, dim) int64
-        bits = (m @ planes) >= 0  # (batch, n_tables*n_planes)
+        m = _lsh_quantize(np.stack(vec.to_numpy())).astype(np.float64)
+        bits = (m @ planes) >= 0.0  # (batch, n_tables*n_planes)
         keys = bits.reshape(len(m), n_tables, n_planes) @ weights  # (batch, n_tables)
         return pd.Series(list(keys))
 

@@ -486,6 +486,50 @@ def job_zip(spark, n: int) -> int:
     return n
 
 
+def job_hamming(spark, n: int) -> int:
+    """pHash-style banded hamming near-dup join at material hash count —
+    the image-dedup scale path (phash_neardup_pairs' engine,
+    dedup.hamming_neardup_pairs). n int64 hashes are synthesized JVM-side
+    (pure codegen, no Python): every 8th row is a PLANTED near-dup of its
+    group base with <= 2 flipped bits; the rest are unrelated uniform
+    hashes. max_hamming=2 -> 3 bands of 22/21/21 bits.
+
+    THE SCALE KNOB, measured here on uniform (worst-case-entropy) hashes:
+    expected bucket occupancy is n / 2^band_width, and the band self-join
+    emits O(sum occupancy^2) candidates — so threshold (bands = max_h+1,
+    width = 64/bands) trades DIRECTLY against join volume. At n=20M and
+    21-bit bands occupancy ~10 keeps the join linear-ish; the same
+    max_hamming=6 (9-bit bands) would be ~20k occupancy and a 10^13-pair
+    explosion. A 10^12-row deployment therefore either keeps max_h <= 1
+    on 64-bit hashes or moves to 256-bit perceptual hashes (wider bands
+    at the same threshold) — documented in BENCH/BASELINE.md."""
+    from gis_scripts_spark.operators.dedup import hamming_neardup_pairs
+
+    grp = (F.col("id") - F.pmod(F.col("id"), F.lit(8)))
+    base_h = F.xxhash64(grp, F.lit(1))
+    # <=2 planted bit flips, positions keyed by id (may coincide -> 1 bit)
+    flip = (
+        F.shiftleft(F.lit(1).cast("long"), F.pmod(F.xxhash64("id", F.lit(2)), F.lit(64)).cast("int"))
+        .bitwiseOR(
+            F.shiftleft(F.lit(1).cast("long"), F.pmod(F.xxhash64("id", F.lit(3)), F.lit(64)).cast("int"))
+        )
+    )
+    h = (
+        F.when(F.pmod(F.col("id"), F.lit(8)) == 0, base_h)
+        .when(F.pmod(F.col("id"), F.lit(8)) == 1, base_h.bitwiseXOR(flip))
+        .otherwise(F.xxhash64("id", F.lit(99)))
+    )
+    df = spark.range(0, n, 1, 64).select(F.col("id").alias("img_id"), h.alias("phash"))
+    pairs = hamming_neardup_pairs(df, "phash", "img_id", max_hamming=2)
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("hamming").alias("s"),
+        F.sum(F.pmod(F.col("id_a") + F.col("id_b"), F.lit(997))).alias("ck"),
+    )
+    agg.write.format("noop").mode("overwrite").save()
+    return n
+
+
 def job_rank_shuffle(spark, n: int) -> int:
     """CEILING CONTROL for the kNN round-1 shape: the minimal Spark job
     with the same skeleton — a shuffle equi-join whose output feeds a
@@ -659,6 +703,8 @@ def main() -> None:
                     help="corpus vectors for the ann job (queries = ann/8)")
     ap.add_argument("--zip-members", type=int, default=8192,
                     help="members for the zip extraction job (~128 KiB each)")
+    ap.add_argument("--hamming", type=int, default=20_000_000,
+                    help="hashes for the banded hamming near-dup job")
     ap.add_argument("--n-cores", type=int, default=4, help="cluster size N proxy")
     ap.add_argument("--n4-cores", type=int, default=16, help="cluster size 4N proxy")
     ap.add_argument("--jobs", type=str, default="points,points_s2_udf,images")
@@ -730,6 +776,8 @@ def main() -> None:
         ("ann", job_ann, args.ann, 16384),
         # S6 scale path: distributed zip-member extraction (inflate+CRC)
         ("zip", job_zip, args.zip_members, 2048),
+        # image near-dup at material hash count (banded hamming join)
+        ("hamming", job_hamming, args.hamming, 32768),
     ):
         if name not in wanted:
             continue
