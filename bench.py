@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "balanced_sample",
     "image_pipeline_zonal",
     "phash_neardup_pairs",
+    "hamming256_neardup",
     "bpe_token_stats",
     "audio_spectral",
     "video_frames",

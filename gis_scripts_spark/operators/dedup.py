@@ -356,12 +356,155 @@ def hamming_neardup_pairs(
     )
     left = blocked.select(F.col("_id").alias("id_a"), F.col("_h").alias("_ha"), "b", "bv")
     right = blocked.select(F.col("_id").alias("id_b"), F.col("_h").alias("_hb"), "b", "bv")
-    pairs = left.join(right, ["b", "bv"]).filter(F.col("id_a") < F.col("id_b"))
-    pairs = pairs.groupBy("id_a", "id_b").agg(
-        F.first("_ha").alias("_ha"), F.first("_hb").alias("_hb")
+    # the bit_count refine runs INSIDE the join stage, BEFORE the
+    # report-once shuffle: on uniform hashes the band join's candidate
+    # volume is dominated by random collisions (occupancy n/2^width per
+    # bucket => O(sum occupancy^2) pairs, almost all hamming > max_h), so
+    # filtering map-side cuts the groupBy exchange from the full candidate
+    # set to the true near-dup pairs — measured 2.6x end-to-end at 20M
+    # hashes (BENCH/scaling_cluster.json `hamming`). hamming is a function
+    # of the pair, so the filter commutes with the dedup exactly.
+    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    pairs = (
+        left.join(right, ["b", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
     )
-    hamming = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming")
-    return pairs.select("id_a", "id_b", hamming).filter(F.col("hamming") <= max_hamming)
+    return pairs.groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming"))
+
+
+def multiword_bands(n_bits: int, max_hamming: int) -> list[tuple[int, int, int]]:
+    """(band, start_bit, width) layout for an n_bits hash split into
+    (max_hamming + 1) contiguous bands — shared by the Spark operator and
+    the DuckDB oracle SQL so both extract IDENTICAL band values. Global
+    bit k lives in word k // 64 at in-word position k % 64 (LSB-first)."""
+    n_bands = max_hamming + 1
+    base_w, extra = divmod(n_bits, n_bands)
+    width0 = base_w + (1 if extra else 0)
+    if width0 > 64:
+        raise ValueError(
+            f"band width {width0} > 64: raise max_hamming (>= {n_bits // 64 - 1}) "
+            "so each band value fits one int64 join key"
+        )
+    bands, s = [], 0
+    for b in range(n_bands):
+        w = base_w + (1 if b < extra else 0)
+        bands.append((b, s, w))
+        s += w
+    return bands
+
+
+def _mw_band_col(words: list, s: int, wd: int):
+    """Column expression for bits [s, s+wd) of the multiword hash. A band
+    of width <= 64 spans at most two adjacent words."""
+    i, r = divmod(s, 64)
+    lowbits = 64 - r
+    if wd <= lowbits:
+        v = F.shiftrightunsigned(words[i], r) if r else words[i]
+        if wd < lowbits:
+            v = v.bitwiseAND(F.lit((1 << wd) - 1))
+        return v
+    lo = F.shiftrightunsigned(words[i], r)  # all 64-r bits, zero-filled
+    hi = words[i + 1].bitwiseAND(F.lit((1 << (wd - lowbits)) - 1))
+    return lo.bitwiseOR(F.shiftleft(hi, lowbits))
+
+
+def hamming_neardup_pairs_multiword(
+    df: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 10,
+    n_words: int = 4,
+) -> DataFrame:
+    """Banded hamming self-join on a MULTI-WORD hash column
+    (``array<bigint>`` of length n_words = 64*n_words bits) — the
+    documented scale path for image near-dup at 10^12 rows: a 64-bit
+    pHash at useful thresholds (max_h ~ 10) gives ~6-bit bands and an
+    occupancy explosion, while 256 bits at the same threshold keeps
+    23-bit bands (occupancy n / 2^23). Same engine shape as the 64-bit
+    version: ids+words-only band join, map-side bit_count refine INSIDE
+    the join stage, groupBy report-once. Bands may span word boundaries;
+    extraction is two shifts + an OR, all whole-stage codegen.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if not 0 <= max_hamming <= 32:
+        raise ValueError("max_hamming must be in [0, 32]")
+    n_bits = 64 * n_words
+    bands = multiword_bands(n_bits, max_hamming)
+    wcols = [F.col(hash_col).getItem(i).alias(f"_w{i}") for i in range(n_words)]
+    base = df.select(F.col(id_col).alias("_id"), *wcols)
+    words = [F.col(f"_w{i}") for i in range(n_words)]
+    keys = F.array(
+        *[
+            F.struct(F.lit(b).alias("b"), _mw_band_col(words, s, wd).alias("bv"))
+            for b, s, wd in bands
+        ]
+    )
+    wnames = [f"_w{i}" for i in range(n_words)]
+    blocked = base.withColumn("_b", F.explode(keys)).select(
+        "_id", *wnames, F.col("_b.b").alias("b"), F.col("_b.bv").alias("bv")
+    )
+    left = blocked.select(
+        F.col("_id").alias("id_a"), *[F.col(w).alias(f"_a{i}") for i, w in enumerate(wnames)],
+        "b", "bv",
+    )
+    right = blocked.select(
+        F.col("_id").alias("id_b"), *[F.col(w).alias(f"_b{i}") for i, w in enumerate(wnames)],
+        "b", "bv",
+    )
+    # map-side refine before the report-once shuffle (same rationale as the
+    # 64-bit version above: random band collisions dominate the candidate
+    # volume and almost all fail the distance test)
+    hamming = sum(
+        F.bit_count(F.col(f"_a{i}").bitwiseXOR(F.col(f"_b{i}"))) for i in range(n_words)
+    )
+    pairs = (
+        left.join(right, ["b", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs.groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming"))
+
+
+def multiword_band_sql(table: str, id_col: str, word_cols: list[str],
+                       max_hamming: int) -> str:
+    """DuckDB SQL emitting the SAME banded candidate join + refine as
+    hamming_neardup_pairs_multiword over `table` (one row per hash,
+    words nonnegative) — the oracle half of the shared band layout.
+    Returns a SELECT producing (id_a, id_b, hamming)."""
+    n_words = len(word_cols)
+    bands = multiword_bands(64 * n_words, max_hamming)
+
+    def band_expr(s: int, wd: int) -> str:
+        i, r = divmod(s, 64)
+        lowbits = 64 - r
+        w = word_cols[i]
+        if wd <= lowbits:
+            e = f"({w} >> {r})" if r else w
+            return f"({e} & {(1 << wd) - 1})" if wd < lowbits else e
+        hi = f"({word_cols[i + 1]} & {(1 << (wd - lowbits)) - 1})"
+        return f"(({w} >> {r}) | ({hi} * {1 << lowbits}))"
+
+    banded = " UNION ALL ".join(
+        f"SELECT {id_col} AS _id, {b} AS b, {band_expr(s, wd)} AS bv FROM {table}"
+        for b, s, wd in bands
+    )
+    ham = " + ".join(
+        f"bit_count(xor(ha.{w}, hb.{w}))" for w in word_cols
+    )
+    return f"""
+SELECT c.id_a, c.id_b, MIN({ham}) AS hamming
+FROM (SELECT DISTINCT a._id AS id_a, b._id AS id_b
+      FROM ({banded}) a JOIN ({banded}) b
+        ON a.b = b.b AND a.bv = b.bv AND a._id < b._id) c
+JOIN {table} ha ON ha.{id_col} = c.id_a
+JOIN {table} hb ON hb.{id_col} = c.id_b
+GROUP BY c.id_a, c.id_b
+HAVING MIN({ham}) <= {max_hamming}
+"""
 
 
 # ----------------------------------------------------- exact word jaccard

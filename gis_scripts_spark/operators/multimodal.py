@@ -330,6 +330,45 @@ def phash_neardup_pairs(df: DataFrame, max_hamming: int = 10) -> DataFrame:
     )
 
 
+PHASH256_SCHEMA = StructType(
+    [
+        StructField("image_id", StringType(), False),
+        StructField("phash256", ArrayType(LongType(), False), False),
+    ]
+)
+
+
+def image_phash256(df: DataFrame) -> DataFrame:
+    """(image_id, phash256: array<bigint>[4]) — the 256-bit perceptual
+    hash in one Arrow mapInPandas pass (codec.phash256)."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                img = codec.decode(bytes(row["bytes"]), row["fmt"]).astype(np.float64)
+                rows.append((row["image_id"], codec.phash256(img)))
+            yield pd.DataFrame(rows, columns=["image_id", "phash256"])
+
+    return df.select("image_id", "bytes", "fmt").mapInPandas(run, PHASH256_SCHEMA)
+
+
+def phash256_neardup_pairs(df: DataFrame, max_hamming: int = 10) -> DataFrame:
+    """256-bit image near-dup pairs — the 10^12-row scale variant of
+    phash_neardup_pairs: at max_hamming=10 a 64-bit hash gives ~6-bit
+    bands (occupancy n/2^6 — unusable at web scale) while 256 bits keeps
+    23-bit bands at the SAME threshold. Decode + DCT in one Arrow pass,
+    then the multiword banded join (bands may span word boundaries; only
+    ids + 4 hash words cross the Exchange, never the bytes)."""
+    from gis_scripts_spark.operators import dedup
+
+    hashes = image_phash256(df)
+    return dedup.hamming_neardup_pairs_multiword(
+        hashes, hash_col="phash256", id_col="image_id",
+        max_hamming=max_hamming, n_words=4,
+    )
+
+
 # ---------------------------------------------------------------- audio ops
 AUDIO_FEATURES_SCHEMA = StructType(
     [

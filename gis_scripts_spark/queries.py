@@ -1638,6 +1638,87 @@ def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.phash_neardup_pairs(images, max_hamming=10)
 
 
+_H256_MAX_H = 10
+
+
+def _h256_word_exprs(dialect: str) -> list[str]:
+    """The 4 int64 hash words of the 256-bit near-dup fixture, as
+    expressions Spark SQL and DuckDB evaluate BIT-FOR-BIT identically
+    (pure nonneg BIGINT +,*,%,|,xor,shift — every intermediate < 2^63):
+    rows with event_id % 8 in {0,1} share a group-base hash, the id%8==1
+    row XORed with <=2 planted bit flips (positions mixed from event_id,
+    bit 63 of each word kept zero so words stay nonnegative); all other
+    rows are unrelated mixes (odd keyspace 2*id+1 vs the even group
+    bases). mix(x) = 32-bit LCG; each word = 31 high + 32 low bits."""
+    spark = dialect == "spark"
+
+    def mix(x: str) -> str:
+        return f"((({x}) * 2654435761 + 1013904223) % 4294967296)"
+
+    def shl(a: str, b: str) -> str:
+        if spark:
+            return f"shiftleft(CAST({a} AS BIGINT), CAST({b} AS INT))"
+        return f"(CAST({a} AS BIGINT) << CAST({b} AS INTEGER))"
+
+    def xor(a: str, b: str) -> str:
+        return f"(({a}) ^ ({b}))" if spark else f"xor({a}, {b})"
+
+    def idiv(a: str, b: int) -> str:
+        return f"(({a}) div {b})" if spark else f"(({a}) // {b})"
+
+    k = "(CASE WHEN event_id % 8 <= 1 THEN event_id - (event_id % 8) ELSE 2 * event_id + 1 END)"
+    p1 = f"({mix('3 * event_id + 1')} % 252)"
+    p2 = f"({mix('3 * event_id + 2')} % 252)"
+    cols = []
+    for j in range(4):
+        raw = (
+            f"(({mix(f'{k} * 16 + {2 * j}')} % 2147483648) * 4294967296"
+            f" + {mix(f'{k} * 16 + {2 * j + 1}')})"
+        )
+        flips = " | ".join(
+            f"(CASE WHEN {idiv(p, 63)} = {j} THEN {shl('1', f'({p}) % 63')}"
+            " ELSE CAST(0 AS BIGINT) END)"
+            for p in (p1, p2)
+        )
+        w = f"(CASE WHEN event_id % 8 = 1 THEN {xor(raw, f'({flips})')} ELSE {raw} END)"
+        cols.append(f"{w} AS w{j}")
+    return cols
+
+
+def q_hamming256_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiword (256-bit) banded hamming near-dup join under the FULL
+    oracle — the 10^12-row image-dedup scale knob itself (64-bit pHash at
+    max_hamming=10 would mean ~6-bit bands; 256 bits keeps 23/24-bit
+    bands at the same threshold, several of which SPAN WORD BOUNDARIES,
+    so the two-shift extraction path is oracle-gated too). Hashes are
+    integer-mixed from event_id (planted <=2-bit near-dups every 8th
+    row); DuckDB re-derives every word bit-for-bit and replays the same
+    pigeonhole band join + bit_count refine (dedup.multiword_band_sql —
+    the band layout comes from the one shared Python function)."""
+    ev = _pq(spark, sf_dir, "events").select("event_id")
+    df = ev.selectExpr("event_id", *_h256_word_exprs("spark")).select(
+        "event_id", F.array("w0", "w1", "w2", "w3").alias("h256")
+    )
+    out = dedup.hamming_neardup_pairs_multiword(
+        df, hash_col="h256", id_col="event_id",
+        max_hamming=_H256_MAX_H, n_words=4,
+    )
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+def _sql_hamming256() -> str:
+    words = ", ".join(_h256_word_exprs("duckdb"))
+    inner = dedup.multiword_band_sql(
+        "hashes", "event_id", ["w0", "w1", "w2", "w3"], _H256_MAX_H
+    )
+    return f"""
+WITH hashes AS (SELECT event_id, {words} FROM events)
+SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM ({inner})
+"""
+
+
 def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-BPE tokenization over the documents table (rows-only: a
     rank-greedy merge loop has no ANSI-SQL form; trainer/apply exactness
@@ -2397,6 +2478,7 @@ QUERIES: dict = {
     # equivalent; exactness proven by tests/ numpy oracles)
     "image_pipeline_zonal": q_image_pipeline_zonal,
     "phash_neardup_pairs": q_phash_neardup,
+    "hamming256_neardup": q_hamming256_neardup,
     "bpe_token_stats": q_bpe_token_stats,
     "audio_spectral": q_audio_spectral,
     "video_frames": q_video_frames,
@@ -2431,6 +2513,9 @@ ORACLES: dict[str, str] = {
     "minhash_lsh_pairs": SQL_MINHASH,
     "dedup_clusters": SQL_DEDUP_CLUSTERS,
     "simhash_pairs": SQL_SIMHASH,
+    # the 256-bit multiword banded hamming join (word-boundary band
+    # extraction included) replayed exactly over integer-mixed hashes
+    "hamming256_neardup": _sql_hamming256(),
     "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "zonal_agreement": SQL_ZONAL_AGREEMENT,

@@ -312,12 +312,46 @@ def phash64(img: np.ndarray) -> int:
 
 
 def _area_resize32(img: np.ndarray) -> np.ndarray:
+    return _area_resize(img, 32)
+
+
+def _area_resize(img: np.ndarray, n: int) -> np.ndarray:
     h, w = img.shape
-    if h % 32 == 0 and w % 32 == 0:
-        return img.reshape(32, h // 32, 32, w // 32).mean(axis=(1, 3))
-    ry = np.floor(np.arange(32) * h / 32).astype(np.int64)
-    rx = np.floor(np.arange(32) * w / 32).astype(np.int64)
+    if h % n == 0 and w % n == 0:
+        return img.reshape(n, h // n, n, w // n).mean(axis=(1, 3))
+    ry = np.floor(np.arange(n) * h / n).astype(np.int64)
+    rx = np.floor(np.arange(n) * w / n).astype(np.int64)
     return img[np.ix_(ry, rx)]
+
+
+_DCT64 = _dct_matrix(64)
+
+
+def phash256(img: np.ndarray) -> list[int]:
+    """256-bit pHash (the documented 10^12-row image-dedup scale knob —
+    wider bands at the same hamming threshold): grayscale -> area-resample
+    64×64 -> 2-D DCT-II -> low-frequency 16×16 block -> median threshold
+    (imagehash's hash_size=16 formulation: the DC term stays in the block,
+    the median makes it one bit like any other). Returns 4 int64 words;
+    global bit k = flattened-block position k, packed MSB-first within
+    word k // 64 (same packing style as phash64)."""
+    img = np.asarray(img, np.float64)
+    if img.ndim == 3:
+        img = img.mean(axis=2)
+    h, w = img.shape
+    ry = np.floor(np.arange(64) * h / 64).astype(np.int64)
+    rx = np.floor(np.arange(64) * w / 64).astype(np.int64)
+    small = img[np.ix_(ry, rx)] if (h < 64 or w < 64) else _area_resize(img, 64)
+    d = _DCT64 @ small @ _DCT64.T
+    block = d[:16, :16].flatten()
+    bits = block > np.median(block)
+    words = []
+    for j in range(4):
+        val = 0
+        for b in bits[64 * j : 64 * (j + 1)]:
+            val = (val << 1) | int(b)
+        words.append(val - (1 << 64) if val >= (1 << 63) else val)
+    return words
 
 
 def probe_dtype(buf: bytes, fmt: str | None = None) -> np.dtype:

@@ -508,11 +508,9 @@ def job_hamming(spark, n: int) -> int:
     grp = (F.col("id") - F.pmod(F.col("id"), F.lit(8)))
     base_h = F.xxhash64(grp, F.lit(1))
     # <=2 planted bit flips, positions keyed by id (may coincide -> 1 bit)
-    flip = (
-        F.shiftleft(F.lit(1).cast("long"), F.pmod(F.xxhash64("id", F.lit(2)), F.lit(64)).cast("int"))
-        .bitwiseOR(
-            F.shiftleft(F.lit(1).cast("long"), F.pmod(F.xxhash64("id", F.lit(3)), F.lit(64)).cast("int"))
-        )
+    flip = F.expr(
+        "shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(id, 2), 64) AS INT)) | "
+        "shiftleft(CAST(1 AS BIGINT), CAST(pmod(xxhash64(id, 3), 64) AS INT))"
     )
     h = (
         F.when(F.pmod(F.col("id"), F.lit(8)) == 0, base_h)
