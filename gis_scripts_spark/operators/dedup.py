@@ -460,8 +460,12 @@ def hamming_neardup_pairs_multiword(
     hamming = sum(
         F.bit_count(F.col(f"_a{i}").bitwiseXOR(F.col(f"_b{i}"))) for i in range(n_words)
     )
+    # scale safety: each join side is bands x n rows BY CONSTRUCTION, so a
+    # broadcast is never right (Spark's size estimate through Generate can
+    # undershoot badly enough to pick one — measured at bench scale: a
+    # 1.1M-row driver-built HashedRelation). Pin the shuffle merge join.
     pairs = (
-        left.join(right, ["b", "bv"])
+        left.join(right.hint("merge"), ["b", "bv"])
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

@@ -1696,6 +1696,13 @@ def q_hamming256_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pigeonhole band join + bit_count refine (dedup.multiword_band_sql —
     the band layout comes from the one shared Python function)."""
     ev = _pq(spark, sf_dir, "events").select("event_id")
+    # small-scan unlock (same root cause as text_fingerprint's r4 fix):
+    # one parquet file = one task, which would serialize the synthesis +
+    # band explode + join build on a single core; at real table sizes
+    # (scan partitions >= slots) this is a no-op
+    sc = spark.sparkContext
+    if ev.rdd.getNumPartitions() < sc.defaultParallelism:
+        ev = ev.repartition(sc.defaultParallelism)
     df = ev.selectExpr("event_id", *_h256_word_exprs("spark")).select(
         "event_id", F.array("w0", "w1", "w2", "w3").alias("h256")
     )
