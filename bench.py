@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "image_pipeline_zonal",
     "phash_neardup_pairs",
     "hamming256_neardup",
+    "exif_gps_zonal",
     "bpe_token_stats",
     "audio_spectral",
     "video_frames",

@@ -369,6 +369,91 @@ def phash256_neardup_pairs(df: DataFrame, max_hamming: int = 10) -> DataFrame:
     )
 
 
+def exif_metadata(
+    df: DataFrame, id_col: str = "image_id", bytes_col: str = "bytes"
+) -> DataFrame:
+    """Per-image EXIF geotag + metadata from the JPEG bytes column — the
+    north-star "geotagged image" last mile: real crawl JPEGs carry GPS in
+    an APP1 TIFF (raster/exif.py), not as table columns. One Arrow pass;
+    bytes stay map-local, only (id, lat, lon, orientation, datetime)
+    scalars leave the stage. Rows without EXIF/GPS come back null."""
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("image_id", id_type, False),
+            StructField("lat", DoubleType(), True),
+            StructField("lon", DoubleType(), True),
+            StructField("orientation", IntegerType(), True),
+            StructField("datetime", StringType(), True),
+        ]
+    )
+
+    def run(batches):
+        from gis_scripts_spark.raster import exif
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                meta = exif.exif_parse(bytes(row[bytes_col])) or {}
+                rows.append(
+                    (row[id_col], meta.get("lat"), meta.get("lon"),
+                     meta.get("orientation"), meta.get("datetime"))
+                )
+            yield pd.DataFrame(
+                rows, columns=["image_id", "lat", "lon", "orientation", "datetime"]
+            )
+
+    return df.select(id_col, bytes_col).mapInPandas(run, schema)
+
+
+def geotagged_jpegs(
+    df: DataFrame,
+    id_col: str = "image_id",
+    lat_md_col: str = "lat_md",
+    lon_md_col: str = "lon_md",
+    orientation_col: str | None = None,
+    dt_col: str | None = None,
+    base_jpeg: bytes | None = None,
+) -> DataFrame:
+    """(id, bytes) rows: one shared base JPEG (encoded once, shipped in
+    the closure) with a PER-ROW EXIF APP1 spliced in — integer
+    millidegree geotags in, spec-shaped geotagged JPEG bytes out. The
+    write half of exif_metadata's read; pure byte surgery per row."""
+    if base_jpeg is None:
+        from gis_scripts_spark.raster.jpeg import jpeg_encode
+
+        scene = (np.arange(16 * 16, dtype=np.int64) % 251).reshape(16, 16, 1)
+        base_jpeg = jpeg_encode(scene.astype(np.uint8))
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("image_id", id_type, False),
+            StructField("bytes", BinaryType(), False),
+        ]
+    )
+    cols = [id_col, lat_md_col, lon_md_col]
+    if orientation_col:
+        cols.append(orientation_col)
+    if dt_col:
+        cols.append(dt_col)
+
+    def run(batches):
+        from gis_scripts_spark.raster import exif
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                app1 = exif.exif_build(
+                    int(row[lat_md_col]), int(row[lon_md_col]),
+                    dt=str(row[dt_col]) if dt_col else None,
+                    orientation=int(row[orientation_col]) if orientation_col else 1,
+                )
+                rows.append((row[id_col], exif.jpeg_with_exif(base_jpeg, app1)))
+            yield pd.DataFrame(rows, columns=["image_id", "bytes"])
+
+    return df.select(*cols).mapInPandas(run, schema)
+
+
 # ---------------------------------------------------------------- audio ops
 AUDIO_FEATURES_SCHEMA = StructType(
     [

@@ -1593,6 +1593,92 @@ FROM tiled GROUP BY poly_id
 """
 
 
+def q_exif_gps_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF-geotagged JPEGs -> GPS decode -> PIP zonal rollup under the
+    FULL oracle — the north-star input's real shape: a web-crawl image
+    carries its geotag inside an APP1 EXIF TIFF (D/M/S RATIONALs), not
+    as table columns. Per event row: build a real JPEG with a per-row
+    EXIF geotag spliced in (integer millidegrees -> exact D/M/S
+    rationals, raster/exif.py), parse it back (marker walk + IFD +
+    rational decode with a FIXED float order), then the engine pip_join
+    against the nation-rect AOI polygons and a zonal rollup. DuckDB
+    re-derives the decoded degrees from the same integer millidegrees
+    and replays the rollup — the byte path (APP1 splice, both IFDs,
+    rational encode/decode) must round-trip exactly for the hash to
+    match. Byte-level pins (big-endian, missing tags, marker walk) live
+    in tests/test_exif.py."""
+    from gis_scripts_spark.operators import multimodal as mm
+
+    ev = _pq(spark, sf_dir, "events").select("event_id")
+    sc = spark.sparkContext
+    if ev.rdd.getNumPartitions() < sc.defaultParallelism:
+        ev = ev.repartition(sc.defaultParallelism)
+    k = F.col("event_id")
+    src = ev.select(
+        "event_id",
+        ((k * F.lit(LON_MULT)) % F.lit(LON_MOD) - F.lit(180000)).alias("lon_md"),
+        ((k * F.lit(LAT_MULT)) % F.lit(LAT_MOD) - F.lit(60000)).alias("lat_md"),
+        (F.lit(1) + k % 8).cast("int").alias("orient"),
+        F.format_string(
+            "2024:%02d:%02d %02d:%02d:%02d",
+            (F.lit(1) + k % 12).cast("int"), (F.lit(1) + k % 28).cast("int"),
+            (k % 24).cast("int"), (k % 60).cast("int"), ((k * 7) % 60).cast("int"),
+        ).alias("dt"),
+    )
+    tagged = mm.geotagged_jpegs(
+        src, id_col="event_id", lat_md_col="lat_md", lon_md_col="lon_md",
+        orientation_col="orient", dt_col="dt",
+    )
+    meta = mm.exif_metadata(tagged).filter(
+        F.col("lat").isNotNull() & F.col("lon").isNotNull()
+    )
+    polys = _aoi_polys_df(spark, sf_dir)
+    pairs = pip_join.pip_join(meta, polys, z=7)
+    return pairs.groupBy("poly_id").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.when(F.col("orientation") >= 5, 1).otherwise(0)).alias("n_rotated"),
+        F.min("image_id").alias("first_event"),
+        F.max("datetime").alias("last_dt"),
+    )
+
+
+def _sql_exif_gps_zonal() -> str:
+    # the GPS decode replayed with the exif.py float order: each rational
+    # num/den, then d + m/60 + s/3600, negated for S/W refs
+    def dec(md: str) -> str:
+        amd = f"ABS({md})"
+        deg = (
+            f"(CAST({amd} // 1000 AS DOUBLE) + 0.0 / 60.0"
+            f" + (CAST(({amd} % 1000) * 18 AS DOUBLE) / 5.0) / 3600.0)"
+        )
+        return f"(CASE WHEN {md} >= 0 THEN {deg} ELSE -{deg} END)"
+
+    return f"""
+WITH md AS (
+  SELECT event_id AS k,
+         (event_id * {LON_MULT}) % {LON_MOD} - 180000 AS lon_md,
+         (event_id * {LAT_MULT}) % {LAT_MOD} - 60000 AS lat_md
+  FROM events),
+dec AS (
+  SELECT k, {dec('lon_md')} AS lon, {dec('lat_md')} AS lat,
+         CAST(1 + k % 8 AS INTEGER) AS orientation,
+         printf('2024:%02d:%02d %02d:%02d:%02d',
+                CAST(1 + k % 12 AS INTEGER), CAST(1 + k % 28 AS INTEGER),
+                CAST(k % 24 AS INTEGER), CAST(k % 60 AS INTEGER),
+                CAST((k * 7) % 60 AS INTEGER)) AS dt
+  FROM md),
+rects AS ({_SQL_NATION_RECTS}),
+pairs AS (
+  SELECT d.*, r.poly_id
+  FROM dec d JOIN rects r
+    ON d.lon > r.x0 AND d.lon < r.x1 AND d.lat > r.y0 AND d.lat < r.y1)
+SELECT poly_id, COUNT(*) AS n_images,
+       CAST(SUM(CASE WHEN orientation >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rotated,
+       MIN(k) AS first_event, MAX(dt) AS last_dt
+FROM pairs GROUP BY poly_id
+"""
+
+
 def ensure_phash_images_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Land the planted-near-dup image table as parquet ONCE (setup step,
     atomic staging-dir rename — the verdict-#5 discipline): the ENCODE of
@@ -2486,6 +2572,7 @@ QUERIES: dict = {
     "image_pipeline_zonal": q_image_pipeline_zonal,
     "phash_neardup_pairs": q_phash_neardup,
     "hamming256_neardup": q_hamming256_neardup,
+    "exif_gps_zonal": q_exif_gps_zonal,
     "bpe_token_stats": q_bpe_token_stats,
     "audio_spectral": q_audio_spectral,
     "video_frames": q_video_frames,
@@ -2523,6 +2610,10 @@ ORACLES: dict[str, str] = {
     # the 256-bit multiword banded hamming join (word-boundary band
     # extraction included) replayed exactly over integer-mixed hashes
     "hamming256_neardup": _sql_hamming256(),
+    # the EXIF APP1 geotag byte path (splice, IFDs, D/M/S rationals) must
+    # round-trip exactly for this hash to match: DuckDB re-derives the
+    # decoded degrees from the same integer millidegrees
+    "exif_gps_zonal": _sql_exif_gps_zonal(),
     "text_quality": SQL_TEXT_QUALITY,
     "text_fingerprint": SQL_TEXT_FINGERPRINT,
     "zonal_agreement": SQL_ZONAL_AGREEMENT,

@@ -1,0 +1,190 @@
+"""EXIF APP1 metadata: parse + build (public EXIF 2.x / TIFF 6.0 layout).
+
+The north-star input is GEOTAGGED imagery; a real web-crawl JPEG carries
+its geotag inside an EXIF APP1 segment — a little TIFF file (IFD0 ->
+GPS sub-IFD holding degree/minute/second RATIONALs), not as table
+columns. This module gives the engine that last mile:
+
+- ``exif_parse`` walks the JPEG markers to the APP1 "Exif\\0\\0" segment
+  (or accepts a bare TIFF), reuses the geotiff IFD machinery on the
+  embedded TIFF (both byte orders), and decodes the GPS rationals with a
+  FIXED float evaluation order (deg + min/60 + sec/3600, each rational
+  as num/den) so a SQL oracle can replay the decode bit-for-bit;
+- ``exif_build`` emits a spec-shaped little-endian segment (IFD0 with
+  Orientation/DateTime + GPS sub-IFD) for self-checking roundtrips;
+- ``jpeg_with_exif`` splices the segment after SOI — the engine's T.81
+  decoder skips APPn, so spliced files stay decodable.
+
+Reference parity: the reference reads image geotags through GDAL's
+metadata surface (e.g. the WorldView XML/metadata flow,
+``seagrass_lib.py:168-242``); EXIF is the equivalent public container
+for crawled imagery.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from gis_scripts_spark.raster.geotiff import _first_ifd_offset, _read_ifd_at
+
+_TAG_ORIENTATION = 0x0112
+_TAG_DATETIME = 0x0132
+_TAG_GPS_IFD = 0x8825
+_GPS_LAT_REF, _GPS_LAT = 1, 2
+_GPS_LON_REF, _GPS_LON = 3, 4
+
+_EXIF_HDR = b"Exif\x00\x00"
+
+
+# ------------------------------------------------------------------ build
+def _encode_ifd(entries: list[tuple[int, int, object]], base: int) -> bytes:
+    """Little-endian classic-TIFF IFD at absolute offset `base`:
+    [count][12B entries][next=0][data area]. entries = (tag, type, value);
+    type 2 = ascii str, 3 = shorts, 4 = longs, 5 = rationals [(num,den)]."""
+    packed = []
+    for tag, typ, val in entries:
+        if typ == 2:
+            data = val.encode("ascii") + b"\x00"
+            cnt = len(data)
+        elif typ == 3:
+            data = struct.pack(f"<{len(val)}H", *val)
+            cnt = len(val)
+        elif typ == 4:
+            data = struct.pack(f"<{len(val)}I", *val)
+            cnt = len(val)
+        elif typ == 5:
+            data = b"".join(struct.pack("<II", n, d) for n, d in val)
+            cnt = len(val)
+        else:  # pragma: no cover - builder only emits the types above
+            raise ValueError(f"unsupported type {typ}")
+        packed.append((tag, typ, cnt, data))
+    n = len(packed)
+    data_off = base + 2 + 12 * n + 4
+    table = struct.pack("<H", n)
+    tail = b""
+    for tag, typ, cnt, data in sorted(packed):
+        table += struct.pack("<HHI", tag, typ, cnt)
+        if len(data) <= 4:
+            table += data.ljust(4, b"\x00")
+        else:
+            table += struct.pack("<I", data_off + len(tail))
+            tail += data
+    table += struct.pack("<I", 0)  # next IFD
+    return table + tail
+
+
+def _ifd_size(entries: list[tuple[int, int, object]]) -> int:
+    return len(_encode_ifd(entries, 0))
+
+
+def _dms_rationals(abs_millideg: int) -> list[tuple[int, int]]:
+    """Exact D/M/S rationals for |millidegrees|: whole degrees, zero
+    minutes, and the sub-degree remainder as seconds = rem_md * 18 / 5
+    (rem_md/1000 deg * 3600 sec/deg, reduced)."""
+    return [(abs_millideg // 1000, 1), (0, 1), ((abs_millideg % 1000) * 18, 5)]
+
+
+def exif_build(
+    lat_millideg: int,
+    lon_millideg: int,
+    dt: str | None = None,
+    orientation: int = 1,
+) -> bytes:
+    """APP1 payload ("Exif\\0\\0" + little-endian TIFF) carrying a GPS
+    geotag at millidegree resolution plus Orientation and DateTime."""
+    gps_entries = [
+        (_GPS_LAT_REF, 2, "N" if lat_millideg >= 0 else "S"),
+        (_GPS_LAT, 5, _dms_rationals(abs(lat_millideg))),
+        (_GPS_LON_REF, 2, "E" if lon_millideg >= 0 else "W"),
+        (_GPS_LON, 5, _dms_rationals(abs(lon_millideg))),
+    ]
+    ifd0_entries = [(_TAG_ORIENTATION, 3, [orientation])]
+    if dt is not None:
+        ifd0_entries.append((_TAG_DATETIME, 2, dt))
+    ifd0_entries.append((_TAG_GPS_IFD, 4, [0]))  # placeholder offset
+    gps_off = 8 + _ifd_size(ifd0_entries)
+    ifd0_entries[-1] = (_TAG_GPS_IFD, 4, [gps_off])
+    tiff = b"II*\x00" + struct.pack("<I", 8)
+    tiff += _encode_ifd(ifd0_entries, 8)
+    tiff += _encode_ifd(gps_entries, gps_off)
+    return _EXIF_HDR + tiff
+
+
+def jpeg_with_exif(jpeg: bytes, app1_payload: bytes) -> bytes:
+    """Splice an APP1 segment right after SOI (byte surgery, no pixel
+    re-encode; the engine's decoder skips APPn)."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    seg = struct.pack(">HH", 0xFFE1, len(app1_payload) + 2) + app1_payload
+    return jpeg[:2] + seg + jpeg[2:]
+
+
+# ------------------------------------------------------------------ parse
+def _find_app1(buf: bytes) -> bytes | None:
+    """The APP1 Exif payload of a JPEG, scanning the marker stream from
+    SOI (stops at SOS — EXIF precedes entropy data by spec)."""
+    if buf[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(buf):
+        if buf[i] != 0xFF:
+            return None
+        marker = buf[i + 1]
+        if marker == 0xD8:
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS: no APP1 ahead
+            return None
+        (ln,) = struct.unpack_from(">H", buf, i + 2)
+        if marker == 0xE1 and buf[i + 4 : i + 4 + 6] == _EXIF_HDR:
+            return bytes(buf[i + 4 : i + 2 + ln])
+        i += 2 + ln
+    return None
+
+
+def _rationals(raw: bytes, bo: str) -> list[tuple[int, int]]:
+    return [struct.unpack_from(bo + "II", raw, 8 * i) for i in range(len(raw) // 8)]
+
+
+def _decode_dms(raw: bytes, bo: str, ref: str) -> float:
+    """FIXED evaluation order (mirrored by the SQL oracle): each rational
+    as num/den IEEE division, then d + m/60 + s/3600, negated for S/W."""
+    rs = _rationals(raw, bo)
+    d = rs[0][0] / rs[0][1] if len(rs) > 0 else 0.0
+    m = rs[1][0] / rs[1][1] if len(rs) > 1 else 0.0
+    s = rs[2][0] / rs[2][1] if len(rs) > 2 else 0.0
+    deg = d + m / 60.0 + s / 3600.0
+    return -deg if ref in ("S", "W") else deg
+
+
+def exif_parse(buf: bytes) -> dict | None:
+    """GPS lat/lon (decoded degrees), orientation and datetime from a
+    JPEG's APP1 EXIF (or a bare TIFF buffer). None when absent; missing
+    individual fields come back as None."""
+    buf = bytes(buf)
+    if buf[:2] == b"\xff\xd8":
+        payload = _find_app1(buf)
+        if payload is None:
+            return None
+        tiff = payload[len(_EXIF_HDR):]
+    elif buf[:4] in (b"II*\x00", b"MM\x00*"):
+        tiff = buf
+    elif buf[:6] == _EXIF_HDR:
+        tiff = buf[len(_EXIF_HDR):]
+    else:
+        return None
+    bo = "<" if tiff[:2] == b"II" else ">"
+    ifd0, _ = _read_ifd_at(tiff, bo, _first_ifd_offset(tiff, bo))
+    out: dict = {
+        "orientation": int(ifd0[_TAG_ORIENTATION][0]) if _TAG_ORIENTATION in ifd0 else None,
+        "datetime": ifd0[_TAG_DATETIME][0] if _TAG_DATETIME in ifd0 else None,
+        "lat": None,
+        "lon": None,
+    }
+    if _TAG_GPS_IFD in ifd0:
+        gps, _ = _read_ifd_at(tiff, bo, int(ifd0[_TAG_GPS_IFD][0]))
+        if _GPS_LAT in gps and _GPS_LAT_REF in gps:
+            out["lat"] = _decode_dms(gps[_GPS_LAT][0], bo, gps[_GPS_LAT_REF][0])
+        if _GPS_LON in gps and _GPS_LON_REF in gps:
+            out["lon"] = _decode_dms(gps[_GPS_LON][0], bo, gps[_GPS_LON_REF][0])
+    return out

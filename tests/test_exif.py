@@ -1,0 +1,123 @@
+"""EXIF APP1 geotag parse/build — byte-level pins: hand-built big-endian
+TIFF, marker-walk tolerance (JFIF APP0 first, no APP1, SOS stop), D/M/S
+sign and minute handling, splice decodability, and the Spark operators'
+roundtrip (geotagged_jpegs -> exif_metadata)."""
+
+import struct
+
+import numpy as np
+import pandas as pd
+
+from gis_scripts_spark.operators import multimodal as mm
+from gis_scripts_spark.raster import exif
+from gis_scripts_spark.raster.jpeg import jpeg_decode, jpeg_encode
+
+
+def _base_jpeg():
+    img = (np.arange(24 * 16, dtype=np.int64) % 251).reshape(24, 16, 1)
+    return jpeg_encode(img.astype(np.uint8))
+
+
+def test_build_parse_roundtrip_signs():
+    for lat_md, lon_md in ((12345, 123456), (-12345, -1), (0, 179999), (-59999, 0)):
+        app1 = exif.exif_build(lat_md, lon_md, dt="2024:06:01 10:20:30", orientation=6)
+        jb = exif.jpeg_with_exif(_base_jpeg(), app1)
+        meta = exif.exif_parse(jb)
+        # expected decode with the documented FIXED float order
+        def dec(md):
+            amd = abs(md)
+            deg = (amd // 1000) + 0.0 / 60.0 + ((amd % 1000) * 18 / 5) / 3600.0
+            return -deg if md < 0 else deg
+        assert meta["lat"] == dec(lat_md)
+        assert meta["lon"] == dec(lon_md)
+        assert meta["orientation"] == 6
+        assert meta["datetime"] == "2024:06:01 10:20:30"
+
+
+def test_spliced_jpeg_still_decodes():
+    jb = _base_jpeg()
+    px0 = jpeg_decode(jb)
+    jb2 = exif.jpeg_with_exif(jb, exif.exif_build(1000, -2000))
+    assert np.array_equal(jpeg_decode(jb2), px0)
+
+
+def test_marker_walk_tolerance():
+    jb = _base_jpeg()  # engine JPEGs start with APP0 JFIF after SOI
+    assert jb[2:4] == b"\xff\xe0"  # precondition: APP1 is NOT first
+    assert exif.exif_parse(jb) is None  # no APP1 at all
+    jb2 = exif.jpeg_with_exif(jb, exif.exif_build(5000, 6000))
+    assert exif.exif_parse(jb2)["lat"] == 5.0
+    # non-Exif APP1 (e.g. XMP) before the Exif APP1 is skipped, not parsed
+    xmp = struct.pack(">HH", 0xFFE1, 2 + 10) + b"http://ns\x00"
+    jb3 = jb2[:2] + xmp + jb2[2:]
+    assert exif.exif_parse(jb3)["lon"] == 6.0
+    assert exif.exif_parse(b"\x00\x01not an image") is None
+
+
+def _be_rational(n, d):
+    return struct.pack(">II", n, d)
+
+
+def test_hand_built_big_endian_with_minutes():
+    """Foreign-writer shape: big-endian TIFF, D/M/S all nonzero, GPS IFD
+    before IFD0's data — independent of exif_build's layout choices."""
+    # GPS IFD: 4 entries at offset 26 (arbitrary but consistent)
+    # layout: header(8) IFD0(2+2*12+4=30 @8) -> gps at 38
+    gps_off = 38
+    ifd0 = struct.pack(">H", 2)
+    ifd0 += struct.pack(">HHI", 0x0112, 3, 1) + struct.pack(">HH", 8, 0)  # orient 8
+    ifd0 += struct.pack(">HHI", 0x8825, 4, 1) + struct.pack(">I", gps_off)
+    ifd0 += struct.pack(">I", 0)
+    # gps ifd: latref, lat(3 rationals), lonref, lon(3 rationals)
+    n = 4
+    data_off = gps_off + 2 + 12 * n + 4
+    gps = struct.pack(">H", n)
+    gps += struct.pack(">HHI", 1, 2, 2) + b"S\x00\x00\x00"
+    gps += struct.pack(">HHI", 2, 5, 3) + struct.pack(">I", data_off)
+    gps += struct.pack(">HHI", 3, 2, 2) + b"W\x00\x00\x00"
+    gps += struct.pack(">HHI", 4, 5, 3) + struct.pack(">I", data_off + 24)
+    gps += struct.pack(">I", 0)
+    lat_r = _be_rational(40, 1) + _be_rational(26, 1) + _be_rational(461, 10)
+    lon_r = _be_rational(79, 1) + _be_rational(58, 1) + _be_rational(5594, 100)
+    tiff = b"MM\x00\x2a" + struct.pack(">I", 8) + ifd0 + gps + lat_r + lon_r
+    meta = exif.exif_parse(tiff)
+    assert meta["orientation"] == 8
+    assert meta["lat"] == -(40 + 26 / 60.0 + 46.1 / 3600.0)
+    assert meta["lon"] == -(79 + 58 / 60.0 + 55.94 / 3600.0)
+    assert meta["datetime"] is None
+    # the same TIFF wrapped as an APP1 payload parses identically
+    assert exif.exif_parse(b"Exif\x00\x00" + tiff) == meta
+
+
+def test_exif_metadata_operator(spark):
+    """Spark roundtrip: geotagged_jpegs -> exif_metadata; long-id
+    passthrough; a non-EXIF row yields nulls."""
+    pdf = pd.DataFrame(
+        {
+            "image_id": [10, 11, 12],
+            "lat_md": [-12345, 0, 59999],
+            "lon_md": [123456, -180000, 1],
+            "orient": [1, 6, 8],
+            "dt": ["2024:01:01 00:00:00"] * 3,
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    tagged = mm.geotagged_jpegs(
+        df, id_col="image_id", orientation_col="orient", dt_col="dt"
+    )
+    meta = mm.exif_metadata(tagged).toPandas().set_index("image_id").sort_index()
+    def dec(md):
+        amd = abs(md)
+        deg = (amd // 1000) + 0.0 / 60.0 + ((amd % 1000) * 18 / 5) / 3600.0
+        return -deg if md < 0 else deg
+    for _, r in pdf.iterrows():
+        assert meta.loc[r["image_id"], "lat"] == dec(r["lat_md"])
+        assert meta.loc[r["image_id"], "lon"] == dec(r["lon_md"])
+        assert meta.loc[r["image_id"], "orientation"] == r["orient"]
+    # plain JPEG (no EXIF) -> null metadata row, id preserved
+    plain = spark.createDataFrame(
+        pd.DataFrame({"image_id": [99], "bytes": [_base_jpeg()]})
+    )
+    out = mm.exif_metadata(plain).toPandas()
+    assert out["image_id"].tolist() == [99]
+    assert out["lat"].isna().all() and out["orientation"].isna().all()
