@@ -121,3 +121,24 @@ def test_exif_metadata_operator(spark):
     out = mm.exif_metadata(plain).toPandas()
     assert out["image_id"].tolist() == [99]
     assert out["lat"].isna().all() and out["orientation"].isna().all()
+
+
+def test_exif_pipeline_bytes_never_in_exchange(spark):
+    """Plan gate (house pattern): the JPEG bytes stay map-local between
+    the build and parse Arrow passes; only (id, lat, lon, ...) scalars
+    enter any Exchange."""
+    import contextlib
+    import io
+    import re
+
+    from gis_scripts_spark.queries import q_exif_gps_zonal
+
+    out = q_exif_gps_zonal(spark, "/root/testdata/sf0.001")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    blocks = re.findall(r"\(\d+\) (?:Broadcast)?Exchange[^\n]*\nInput[^\n]*", plan)
+    assert blocks, "expected at least one Exchange in the zonal plan"
+    for block in blocks:
+        assert "bytes" not in block, block

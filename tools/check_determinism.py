@@ -30,6 +30,9 @@ QUERIES = [
     "las_ground_stats",
     "utm_forward_coords",
     "rpc_image_coords",
+    "hamming256_neardup",  # multiword band join incl. word-boundary extraction
+    "exif_gps_zonal",     # EXIF byte path: splice/IFD/rational roundtrip
+    "phash_neardup_pairs",  # bytes pipeline: DCT pHash bit-for-bit
 ]
 
 

@@ -34,6 +34,8 @@ PLAN_QUERIES = [
     "hex_zonal_stats",
     "zip_manifest_coverage",
     "geojson_pip",
+    "hamming256_neardup",
+    "exif_gps_zonal",
 ]
 
 
