@@ -393,10 +393,12 @@ def exif_metadata(
 
         for pdf in batches:
             rows = []
-            for _, row in pdf.iterrows():
-                meta = exif.exif_parse(bytes(row[bytes_col])) or {}
+            # zip over column arrays, not iterrows — per-row byte surgery
+            # is light enough that pandas row-object overhead dominates
+            for rid, buf in zip(pdf[id_col].to_numpy(), pdf[bytes_col].to_numpy()):
+                meta = exif.exif_parse(bytes(buf)) or {}
                 rows.append(
-                    (row[id_col], meta.get("lat"), meta.get("lon"),
+                    (rid, meta.get("lat"), meta.get("lon"),
                      meta.get("orientation"), meta.get("datetime"))
                 )
             yield pd.DataFrame(
@@ -441,14 +443,19 @@ def geotagged_jpegs(
         from gis_scripts_spark.raster import exif
 
         for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            lats = pdf[lat_md_col].to_numpy()
+            lons = pdf[lon_md_col].to_numpy()
+            ors = pdf[orientation_col].to_numpy() if orientation_col else None
+            dts = pdf[dt_col].to_numpy() if dt_col else None
             rows = []
-            for _, row in pdf.iterrows():
+            for i in range(len(pdf)):
                 app1 = exif.exif_build(
-                    int(row[lat_md_col]), int(row[lon_md_col]),
-                    dt=str(row[dt_col]) if dt_col else None,
-                    orientation=int(row[orientation_col]) if orientation_col else 1,
+                    int(lats[i]), int(lons[i]),
+                    dt=str(dts[i]) if dts is not None else None,
+                    orientation=int(ors[i]) if ors is not None else 1,
                 )
-                rows.append((row[id_col], exif.jpeg_with_exif(base_jpeg, app1)))
+                rows.append((ids[i], exif.jpeg_with_exif(base_jpeg, app1)))
             yield pd.DataFrame(rows, columns=["image_id", "bytes"])
 
     return df.select(*cols).mapInPandas(run, schema)

@@ -157,6 +157,39 @@ def _decode_dms(raw: bytes, bo: str, ref: str) -> float:
     return -deg if ref in ("S", "W") else deg
 
 
+def apply_orientation(img, orientation: int):
+    """Pixels as the scene looked: apply the EXIF display transform
+    (TIFF 6.0 / EXIF 2.x orientation 1-8). 1 = as stored; 2 = mirror
+    horizontal; 3 = rotate 180; 4 = mirror vertical; 5 = transpose;
+    6 = rotate 90 CW; 7 = transverse; 8 = rotate 90 CCW — the standard
+    table every viewer implements. Works on (h, w) or (h, w, bands)
+    arrays; returns a contiguous copy."""
+    import numpy as np
+
+    if orientation in (None, 1):
+        return img
+    if not 1 <= int(orientation) <= 8:
+        raise ValueError(f"EXIF orientation must be 1..8, got {orientation}")
+    o = int(orientation)
+    if o == 2:
+        out = img[:, ::-1]
+    elif o == 3:
+        out = img[::-1, ::-1]
+    elif o == 4:
+        out = img[::-1, :]
+    else:
+        swapped = np.swapaxes(img, 0, 1)
+        if o == 5:  # transpose (mirror along the top-left diagonal)
+            out = swapped
+        elif o == 6:  # rotate 90 CW: out[y][x] = in[h-1-x][y]
+            out = swapped[:, ::-1]
+        elif o == 7:  # transverse (mirror along the other diagonal)
+            out = swapped[::-1, ::-1]
+        else:  # 8: rotate 90 CCW: out[y][x] = in[x][w-1-y]
+            out = swapped[::-1, :]
+    return np.ascontiguousarray(out)
+
+
 def exif_parse(buf: bytes) -> dict | None:
     """GPS lat/lon (decoded degrees), orientation and datetime from a
     JPEG's APP1 EXIF (or a bare TIFF buffer). None when absent; missing

@@ -142,3 +142,38 @@ def test_exif_pipeline_bytes_never_in_exchange(spark):
     assert blocks, "expected at least one Exchange in the zonal plan"
     for block in blocks:
         assert "bytes" not in block, block
+
+
+def test_apply_orientation_table():
+    """Hand-pinned against the standard EXIF orientation table on the
+    classic 2x3 'F' matrix (values = position codes), plus inverse and
+    band-axis invariance properties."""
+    import pytest
+
+    m = np.array([[1, 2, 3], [4, 5, 6]])
+    want = {
+        1: [[1, 2, 3], [4, 5, 6]],
+        2: [[3, 2, 1], [6, 5, 4]],                  # mirror horizontal
+        3: [[6, 5, 4], [3, 2, 1]],                  # rotate 180
+        4: [[4, 5, 6], [1, 2, 3]],                  # mirror vertical
+        5: [[1, 4], [2, 5], [3, 6]],                # transpose
+        6: [[4, 1], [5, 2], [6, 3]],                # rotate 90 CW
+        7: [[6, 3], [5, 2], [4, 1]],                # transverse
+        8: [[3, 6], [2, 5], [1, 4]],                # rotate 90 CCW
+    }
+    for o, w in want.items():
+        got = exif.apply_orientation(m, o)
+        assert got.tolist() == w, f"orientation {o}"
+        # band axis rides along untouched
+        m3 = np.stack([m, m * 10], axis=2)
+        got3 = exif.apply_orientation(m3, o)
+        assert got3[..., 0].tolist() == w
+        assert got3[..., 1].tolist() == (np.array(w) * 10).tolist()
+    # rotations invert each other; mirrors/transposes self-invert
+    for o, inv in ((2, 2), (3, 3), (4, 4), (5, 5), (6, 8), (7, 7), (8, 6)):
+        assert exif.apply_orientation(
+            exif.apply_orientation(m, o), inv
+        ).tolist() == m.tolist()
+    with pytest.raises(ValueError):
+        exif.apply_orientation(m, 9)
+    assert exif.apply_orientation(m, None) is m

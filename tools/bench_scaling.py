@@ -528,6 +528,37 @@ def job_hamming(spark, n: int) -> int:
     return n
 
 
+def job_exif(spark, n: int) -> int:
+    """EXIF geotag byte path at material row count — the exif_gps_zonal
+    engine: per row, build a geotagged JPEG (APP1 splice from integer
+    millidegrees) and parse it back (marker walk + IFD + rational
+    decode), then a checksum agg so nothing is pruned. Two Arrow passes
+    of per-row Python byte surgery — the measured cost of carrying
+    geotags IN the image bytes instead of as table columns."""
+    from gis_scripts_spark.operators import multimodal as mm
+
+    k = F.col("id")
+    src = spark.range(0, n, 1, 64).select(
+        F.col("id").alias("event_id"),
+        ((k * F.lit(2654435761)) % F.lit(360000) - F.lit(180000)).alias("lon_md"),
+        ((k * F.lit(97643)) % F.lit(120000) - F.lit(60000)).alias("lat_md"),
+        (F.lit(1) + k % 8).cast("int").alias("orient"),
+    )
+    tagged = mm.geotagged_jpegs(
+        src, id_col="event_id", lat_md_col="lat_md", lon_md_col="lon_md",
+        orientation_col="orient",
+    )
+    meta = mm.exif_metadata(tagged)
+    agg = meta.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("lat") * 1000).cast("long")).alias("lat_ck"),
+        F.sum((F.col("lon") * 1000).cast("long")).alias("lon_ck"),
+        F.sum("orientation").alias("o_ck"),
+    )
+    agg.write.format("noop").mode("overwrite").save()
+    return n
+
+
 def job_rank_shuffle(spark, n: int) -> int:
     """CEILING CONTROL for the kNN round-1 shape: the minimal Spark job
     with the same skeleton — a shuffle equi-join whose output feeds a
@@ -776,6 +807,8 @@ def main() -> None:
         ("zip", job_zip, args.zip_members, 2048),
         # image near-dup at material hash count (banded hamming join)
         ("hamming", job_hamming, args.hamming, 32768),
+        # EXIF geotag byte path (build + parse Arrow passes) at material n
+        ("exif", job_exif, min(args.points, 2_000_000), 16384),
     ):
         if name not in wanted:
             continue
