@@ -396,7 +396,12 @@ def exif_metadata(
             # zip over column arrays, not iterrows — per-row byte surgery
             # is light enough that pandas row-object overhead dominates
             for rid, buf in zip(pdf[id_col].to_numpy(), pdf[bytes_col].to_numpy()):
-                meta = exif.exif_parse(bytes(buf)) or {}
+                # crawl data carries malformed EXIF routinely: a corrupt
+                # segment yields a null row, never a dead task
+                try:
+                    meta = exif.exif_parse(bytes(buf)) or {}
+                except Exception:
+                    meta = {}
                 rows.append(
                     (rid, meta.get("lat"), meta.get("lon"),
                      meta.get("orientation"), meta.get("datetime"))

@@ -177,3 +177,23 @@ def test_apply_orientation_table():
     with pytest.raises(ValueError):
         exif.apply_orientation(m, 9)
     assert exif.apply_orientation(m, None) is m
+
+
+def test_exif_metadata_corrupt_segment_yields_nulls(spark):
+    """Crawl-data reality: a structurally broken APP1 (truncated TIFF,
+    bogus IFD offset) must yield a null metadata row, not a dead task."""
+    good = exif.jpeg_with_exif(_base_jpeg(), exif.exif_build(1000, 2000))
+    # truncated TIFF body inside an otherwise well-formed APP1
+    broken1 = exif.jpeg_with_exif(_base_jpeg(), b"Exif\x00\x00II*\x00\x08\x00")
+    # IFD offset pointing far outside the segment
+    broken2 = exif.jpeg_with_exif(
+        _base_jpeg(), b"Exif\x00\x00II*\x00" + struct.pack("<I", 999999)
+    )
+    pdf = pd.DataFrame({"image_id": [1, 2, 3], "bytes": [good, broken1, broken2]})
+    out = (
+        mm.exif_metadata(spark.createDataFrame(pdf))
+        .toPandas().set_index("image_id").sort_index()
+    )
+    assert out.loc[1, "lat"] == 1.0 and out.loc[1, "lon"] == 2.0
+    for i in (2, 3):
+        assert pd.isna(out.loc[i, "lat"]) and pd.isna(out.loc[i, "orientation"])
