@@ -89,11 +89,18 @@ def synth_points(n):
 
 
 def run(m):
+    # the FULL flagship job the north rule names: S2 encode (Arrow UDF) +
+    # XYZ/quadkey tiling (codegen) + cell-keyed PIP join + zonal rollup
+    from gis_scripts_spark.operators import pip_join
+    from gis_scripts_spark.sources import synth as synth_mod
+
     assigned = tile_assign.assign_tiles(synth_points(m), grid_z=7, tile_z=12, s2_level=12)
-    agg = assigned.groupBy(F.pmod(F.col("s2_cell"), F.lit(64))).agg(
+    polys = synth_mod.aoi_polygons_df(spark)
+    joined = pip_join.pip_join(assigned, polys, z=9)
+    agg = joined.groupBy(F.pmod(F.col("s2_cell"), F.lit(64))).agg(
         F.count(F.lit(1)).alias("n"),
+        F.sum(F.pmod(F.col("tile_x") * F.lit(4096) + F.col("tile_y"), F.lit(997))).alias("tile_sum"),
         F.min("s2_cell").alias("s2_min"),
-        F.sum(F.pmod(F.col("cell"), F.lit(997))).alias("cell_sum"),
     )
     agg.write.format("noop").mode("overwrite").save()
 
@@ -169,8 +176,9 @@ def main() -> int:
         job2 = os.path.join(work, "job_timed.py")
         with open(job2, "w") as f:
             f.write(JOB_TIMED)
-        pair: dict = {"rows": n_rows, "job": "s2-encode tile assignment "
-                      "(assign_tiles: S2 Arrow UDF + XYZ/quadkey codegen)"}
+        pair: dict = {"rows": n_rows, "job": "FULL flagship: S2 encode (Arrow "
+                      "UDF) + XYZ/quadkey tiling + cell-keyed PIP join vs AOI "
+                      "polygons + zonal rollup"}
         pair_ok = True
         for label, master, n_exec, pin in (
             ("N_1x8", "local-cluster[1,8,6144]", 1, 8),
