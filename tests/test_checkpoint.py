@@ -76,3 +76,69 @@ def test_metrics_table_written(spark, tmp_path):
     # lineage: per-stage row counts sum to table row counts
     ingest_rows = m[m["stage"] == "ingest"]["rows"].sum()
     assert ingest_rows == 200
+
+
+def test_manifest_partition_and_stats_pruning(spark, tmp_path):
+    """Iceberg-manifest semantics: partitioned snapshot + per-file min/max
+    -> read_snapshot(where=...) opens ONLY the surviving files (checked via
+    inputFiles), and the result always equals full-read + filter."""
+    t = str(tmp_path / "tbl")
+    df = spark.range(1000).select(
+        F.col("id"),
+        (F.col("id") % 8).alias("cell_prefix"),
+        (F.col("id") * 2).alias("val"),
+    )
+    s = snaptable.write_snapshot(
+        df, t, stage="ingest", partition_by=["cell_prefix"], stats_cols=["val"]
+    )
+    assert s["rows"] == 1000
+    assert len(s["files"]) >= 8  # one+ per partition dir
+    assert all("partition" in f and "stats" in f for f in s["files"])
+
+    # partition-equality pruning: only cell_prefix=3 files are listed
+    pruned = snaptable.read_snapshot(spark, t, where={"cell_prefix": 3})
+    opened = pruned.inputFiles()
+    assert opened and all("cell_prefix=3" in p for p in opened)
+    full = snaptable.read_snapshot(spark, t).filter(F.col("cell_prefix") == 3)
+    assert sorted(r["id"] for r in pruned.collect()) == sorted(
+        r["id"] for r in full.collect()
+    )
+    # partition columns are restored on the leaf-file read (basePath)
+    assert set(pruned.columns) == {"id", "cell_prefix", "val"}
+
+    # stats-range pruning on a NON-partition column: files whose [min,max]
+    # misses the range are never opened
+    rng = snaptable.read_snapshot(spark, t, where={"val": (0, 10)})
+    assert len(rng.inputFiles()) < len(s["files"])
+    assert sorted(r["id"] for r in rng.collect()) == list(range(6))
+
+    # append a second snapshot; chain read still prunes per snapshot
+    df2 = spark.range(1000, 1200).select(
+        F.col("id"),
+        (F.col("id") % 8).alias("cell_prefix"),
+        (F.col("id") * 2).alias("val"),
+    )
+    snaptable.write_snapshot(
+        df2, t, stage="more", partition_by=["cell_prefix"], stats_cols=["val"]
+    )
+    both = snaptable.read_snapshot(spark, t, where={"cell_prefix": 3})
+    assert both.count() == 125 + 25
+    assert all("cell_prefix=3" in p for p in both.inputFiles())
+
+    # a range no file can hold -> empty result, exact schema
+    none = snaptable.read_snapshot(spark, t, where={"val": (10**9, 10**9 + 1)})
+    assert none.count() == 0
+    assert set(none.columns) == {"id", "cell_prefix", "val"}
+
+    # old-format manifests (no files list) still read fine with where
+    import json as _json
+
+    mpath = t + "/manifest.json"
+    with open(mpath) as f:
+        m = _json.load(f)
+    for snap in m["snapshots"]:
+        snap.pop("files", None)
+    with open(mpath, "w") as f:
+        _json.dump(m, f)
+    legacy = snaptable.read_snapshot(spark, t, where={"cell_prefix": 3})
+    assert legacy.count() == 150  # unpruned but correctly filtered
