@@ -52,6 +52,35 @@ def cell_col(lon: Column, lat: Column, z: int) -> Column:
     ).alias(f"cell_z{z}")
 
 
+def cell_prefix_col(cell: Column, z: int, prefix_z: int) -> Column:
+    """Parent cell at coarser zoom `prefix_z` from a packed cell at zoom
+    `z` — pure bit shifts (codegen'd). This is the "cell prefix" the north
+    rule partitions tables by: coarse spatial locality with a bounded
+    number of distinct values (4^prefix_z), suitable for Hive/Iceberg
+    partition layout (`snaptable.write_snapshot(partition_by=...)`)."""
+    if not 0 <= prefix_z <= z:
+        raise ValueError(f"prefix_z must be in [0, {z}]")
+    s = z - prefix_z
+    gx = F.shiftright(cell, _GX_SHIFT).bitwiseAND(
+        F.lit((1 << (_Z_SHIFT - _GX_SHIFT)) - 1)
+    )
+    gy = cell.bitwiseAND(F.lit((1 << _GX_SHIFT) - 1))
+    return (
+        (F.lit(int(prefix_z)).cast("long") * F.lit(1 << _Z_SHIFT).cast("long"))
+        + F.shiftright(gx, s) * F.lit(1 << _GX_SHIFT).cast("long")
+        + F.shiftright(gy, s)
+    ).alias(f"cell_z{prefix_z}")
+
+
+def cell_prefix(cell, prefix_z: int):
+    """numpy twin of cell_prefix_col (oracles / driver-side checks)."""
+    z, gx, gy = unpack(cell)
+    s = z - np.int64(prefix_z)
+    if np.any(s < 0):
+        raise ValueError("prefix_z coarser than the cell's own zoom required")
+    return pack(prefix_z, np.asarray(gx, np.int64) >> s, np.asarray(gy, np.int64) >> s)
+
+
 def cell_gx_col(cell: Column) -> Column:
     return F.shiftright(cell, _GX_SHIFT).bitwiseAND(F.lit((1 << (_Z_SHIFT - _GX_SHIFT)) - 1))
 

@@ -19,6 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from gis_scripts_spark.index import cells
 from gis_scripts_spark.metrics import MetricsCollector
 from gis_scripts_spark.operators import pip_join, tile_assign
 from gis_scripts_spark.sources import snaptable, synth
@@ -59,10 +60,21 @@ def run_image_pipeline(
         assigned = tile_assign.assign_tiles(images, grid_z=grid_z, tile_z=12, s2_level=12)
         # tile table: keys only — image bytes NEVER shuffle (SURVEY.md §7.4)
         tiles = mc.wrap(
-            assigned.select("image_id", "lon", "lat", "cell", "tile_z", "tile_x", "tile_y", "quadkey", "s2_cell"),
+            assigned.select(
+                "image_id", "lon", "lat", "cell", "tile_z", "tile_x", "tile_y",
+                "quadkey", "s2_cell",
+                cells.cell_prefix_col(F.col("cell"), grid_z, 2).alias("cell_prefix"),
+            ),
             "tiles",
         )
-        snaptable.write_snapshot(tiles, t_tiles, stage="tiles")
+        # the north rule's "explicit repartitioning by cell prefix" persisted
+        # into the TABLE layout: Hive-partitioned by the coarse (z=2) parent
+        # cell + per-file min/max of the fine cell in the snapshot manifest,
+        # so a selective AOI read prunes files before listing them
+        snaptable.write_snapshot(
+            tiles, t_tiles, stage="tiles",
+            partition_by=["cell_prefix"], stats_cols=["cell"],
+        )
         tiles = snaptable.read_snapshot(spark, t_tiles)
 
     done = snaptable.completed_stages(t_zonal) if resume else set()

@@ -180,13 +180,21 @@ def _file_may_match(entry: dict, col: str, lo, hi) -> bool:
     metadata PROVES no row can satisfy lo <= col <= hi."""
     pv = entry.get("partition", {})
     if col in pv:
-        # Hive layout stores strings; compare numerically when the probe
-        # is numeric, else lexically
+        raw = pv[col]
+        # Hive layout stores strings; exact INTEGER compare when both sides
+        # are integral — packed cell ids exceed 2^53, where float compare
+        # would merge adjacent ids and weaken pruning
         try:
-            v = float(pv[col])
-            return float(lo) <= v <= float(hi)
+            v = int(raw)
+            lo_i, hi_i = int(lo), int(hi)
+            if lo_i == lo and hi_i == hi:
+                return lo_i <= v <= hi_i
         except (TypeError, ValueError):
-            return str(lo) <= pv[col] <= str(hi)
+            pass
+        try:
+            return float(lo) <= float(raw) <= float(hi)
+        except (TypeError, ValueError):
+            return str(lo) <= raw <= str(hi)
     st = entry.get("stats", {}).get(col)
     if st is None or st[0] is None or st[1] is None:
         return True  # no metadata for this column -> cannot prune

@@ -142,3 +142,40 @@ def test_manifest_partition_and_stats_pruning(spark, tmp_path):
         _json.dump(m, f)
     legacy = snaptable.read_snapshot(spark, t, where={"cell_prefix": 3})
     assert legacy.count() == 150  # unpruned but correctly filtered
+
+
+def test_pipeline_tiles_partitioned_by_cell_prefix(spark, tmp_path):
+    """The pipeline persists the tiles stage Hive-partitioned by the coarse
+    cell prefix (north rule: explicit repartitioning by cell prefix) with
+    per-file cell stats; a selective read opens only matching files."""
+    import numpy as np
+
+    from gis_scripts_spark.index import cells as cells_mod
+
+    root = str(tmp_path / "prun")
+    out = pipelines.run_image_pipeline(spark, root, n_images=300)
+    tiles = out["tiles"]
+    assert "cell_prefix" in tiles.columns
+
+    # the Column computation matches the numpy twin exactly (incl. >2^53 ids)
+    for r in tiles.select("cell", "cell_prefix").limit(64).collect():
+        assert int(cells_mod.cell_prefix(np.int64(r["cell"]), 2)) == r["cell_prefix"]
+
+    per_prefix = {int(r[0]): r[1] for r in tiles.groupBy("cell_prefix").count().collect()}
+    assert len(per_prefix) > 1  # images span multiple coarse cells
+    target = sorted(per_prefix)[0]
+
+    t_tiles = os.path.join(root, "tiles")
+    full = snaptable.read_snapshot(spark, t_tiles)
+    pruned = snaptable.read_snapshot(spark, t_tiles, where={"cell_prefix": target})
+    assert 0 < len(pruned.inputFiles()) < len(full.inputFiles())
+    assert pruned.count() == per_prefix[target]
+    # adjacent packed ids differ by 1 ulp-sub-float resolution: the exact
+    # integer compare must NOT leak neighbor partitions into the file list
+    assert all(f"cell_prefix={target}" in p for p in pruned.inputFiles())
+
+    # per-file fine-cell stats prune on the NON-partition column too
+    cmin = tiles.agg(F.min("cell")).collect()[0][0]
+    rng = snaptable.read_snapshot(spark, t_tiles, where={"cell": (cmin, cmin)})
+    assert len(rng.inputFiles()) < len(full.inputFiles())
+    assert rng.count() == tiles.filter(F.col("cell") == cmin).count()
