@@ -231,8 +231,14 @@ def pip_join(
     if salt and hot_cells:
         hot = set(int(c) for c in hot_cells)
         hot_lit = F.array(*[F.lit(c) for c in sorted(hot)])
-        salt_df = spark.range(salt).select(F.col("id").cast("int").alias("_salt"))
-        cover_hot = cover.filter(F.array_contains(hot_lit, F.col("cell"))).crossJoin(salt_df)
+        # single-partition + explicit broadcast: the salt dim is tiny, and
+        # without the hint a disabled/exceeded broadcast threshold turns the
+        # cross join into a CartesianProduct that re-runs the whole cover
+        # lineage once per (cover partition x salt partition) pair
+        salt_df = spark.range(0, salt, 1, 1).select(F.col("id").cast("int").alias("_salt"))
+        cover_hot = cover.filter(F.array_contains(hot_lit, F.col("cell"))).crossJoin(
+            F.broadcast(salt_df)
+        )
         cover_cold = cover.filter(~F.array_contains(hot_lit, F.col("cell"))).withColumn(
             "_salt", F.lit(-1).cast("int")
         )
