@@ -172,6 +172,14 @@ def main() -> int:
         }
 
         # ---- phase 2: the timed N-vs-4N pair THROUGH spark-submit ----
+        # SUBMIT_PAIR=0 (pytest) runs the launch-path smoke only and does
+        # NOT touch the official BENCH record — a full-suite pytest run must
+        # never clobber the settled-host pair numbers with whatever the host
+        # load happens to be
+        if os.environ.get("SUBMIT_PAIR", "1") != "1":
+            record["ok"] = ok
+            print(json.dumps(record))
+            return 0 if ok else 1
         n_rows = int(os.environ.get("SUBMIT_PAIR_ROWS", "120000000"))
         job2 = os.path.join(work, "job_timed.py")
         with open(job2, "w") as f:
