@@ -172,7 +172,14 @@ def pip_join(
     `salt` + `hot_cells`: replicate cover rows of hot cells `salt` ways and
     spread their points across replicas via a deterministic hash — the skew
     escape hatch when one cell dwarfs AQE's skew-join splitting
-    (SURVEY.md §7.4).
+    (SURVEY.md §7.4). Measured guidance (BENCH/skew_salting.json):
+    pick salt WELL ABOVE spark.sql.shuffle.partitions — salt buckets hash
+    into reduce partitions like balls into bins, and 32 buckets over 64
+    partitions left 2-3-bucket stragglers (p75 77 s) where salt=128 reached
+    the machine's work-bound floor. Salting also covers the regime AQE
+    cannot see: a hot partition UNDER the skew byte threshold whose
+    pandas-UDF work makes it a CPU straggler (AQE detection is byte-based;
+    measure_hot_cells counts rows).
     """
     spark = points_df.sparkSession
     if z == "auto":
