@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "reproject_utm",
     "reproject_rpc",
     "seamless_mosaic",
+    "streaming_windowed_zonal",
     "cog_roundtrip",
 ]
 
@@ -161,6 +162,7 @@ def main() -> None:
     Q.ensure_geojson_fixture(spark, sf_dir)
     Q.ensure_worldview_zip_fixture(spark, sf_dir)
     Q.ensure_phash_images_fixture(spark, sf_dir)
+    Q.ensure_stream_events_fixture(spark, sf_dir)
 
     # optional pinned-A/B subset: comma-separated query names
     only = {s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s}

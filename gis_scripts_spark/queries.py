@@ -13,6 +13,10 @@ Floating aggregates are rounded in both engines to absorb sum-order ulps.
 
 from __future__ import annotations
 
+import os
+import time
+import uuid
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -2530,6 +2534,153 @@ def q_seamless_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------- streaming (§2.9)
+_STREAM_TS_BASE = 1767225600  # 2026-01-01 00:00:00 UTC
+_STREAM_TS_MULT, _STREAM_TS_MOD = 7919, 5400  # event times span 90 minutes
+
+
+def ensure_stream_events_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Streaming source fixture (SETUP step, untimed — r4 verdict #5): the
+    events table split into 6 parquet files by event_id % 6 with an
+    integer-derived event-time column, plus a far-future SENTINEL file
+    (later mtime, so FileStreamSource processes it last) that advances the
+    watermark past every real window so append mode finalizes them.
+    Atomic staging-dir rename; concurrent builders race safely."""
+    import hashlib as _hashlib
+    import shutil as _shutil
+    import uuid as _uuid
+
+    path = f"/tmp/gss_streamq_{_hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    if os.path.isdir(path):
+        return path
+    ev = _pq(spark, sf_dir, "events").select("event_id", "event_type").toPandas()
+    k = ev["event_id"].to_numpy(np.int64)
+    ev["lon"] = -180.0 + ((k * LON_MULT) % LON_MOD) / 1000.0
+    ev["lat"] = -60.0 + ((k * LAT_MULT) % LAT_MOD) / 1000.0
+    # UTC microseconds: pandas-default NANOS parquet is unreadable under a
+    # Spark TimestampType stream schema
+    ev["ts"] = pd.to_datetime(
+        _STREAM_TS_BASE + (k * _STREAM_TS_MULT) % _STREAM_TS_MOD,
+        unit="s", utc=True,
+    ).astype("datetime64[us, UTC]")
+    stage = f"{path}.stage.{_uuid.uuid4().hex}"
+    os.makedirs(stage)
+    # files ordered by EVENT TIME (15-minute slices — the realistic stream
+    # arrival shape; files spanning the full range would strand their early
+    # rows beyond the advancing watermark), with a deterministic ~10% LATE
+    # subset shifted one file later: 15 min of lateness sits INSIDE the
+    # 20-minute watermark, so those rows must still land in their window
+    secs = ((k * _STREAM_TS_MULT) % _STREAM_TS_MOD).astype(np.int64)
+    fidx = np.minimum(secs // 900, 5)
+    fidx = np.where((k * 31) % 10 == 0, np.minimum(fidx + 1, 5), fidx)
+    for part in range(6):
+        ev[fidx == part].to_parquet(
+            os.path.join(stage, f"batch_{part}.parquet"), index=False)
+    # sentinel INSIDE aoi_0 (it must survive the PIP join to reach the
+    # watermark operator); its own window never finalizes and is filtered
+    x0, y0, x1, y1 = _nation_rect(0)
+    pd.DataFrame({
+        "event_id": np.array([-1], np.int64), "event_type": ["sentinel"],
+        "lon": [(x0 + x1) / 2.0], "lat": [(y0 + y1) / 2.0],
+        "ts": pd.to_datetime(
+            [_STREAM_TS_BASE + 864000], unit="s", utc=True
+        ).astype("datetime64[us, UTC]"),
+    }).to_parquet(os.path.join(stage, "zz_sentinel.parquet"), index=False)
+    now = time.time()
+    for f in sorted(os.listdir(stage)):
+        t = now + 3600 if f.startswith("zz_") else now + 10 * int(f[6])
+        os.utime(os.path.join(stage, f), (t, t))
+    try:
+        os.rename(stage, path)
+    except OSError:
+        _shutil.rmtree(stage, ignore_errors=True)  # lost the race: done
+    return path
+
+
+def q_streaming_windowed_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming under the FULL DuckDB oracle (§2.9): a REAL
+    incremental run — file micro-batches (maxFilesPerTrigger=2) through a
+    stream-static PIP join and a watermarked event-time tumbling-window
+    zonal rollup, append-mode parquet sink with a fresh checkpoint per
+    invocation (every run does the full streaming work; the SOURCE fixture
+    is static + shared). Windows finalize when the sentinel batch advances
+    the watermark; a drain pass flushes state. The final table is
+    event-time-determined — micro-batch boundaries cannot change it — so
+    DuckDB re-derives it exactly: same integer-mixed event times, same PIP
+    rectangles, same epoch-aligned 10-minute buckets. Replaces the
+    reference's rebuild-the-zonal-table-per-run batch habit
+    (Assess_Agreement.R) with an incremental pipeline."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from gis_scripts_spark import streaming as streaming_mod
+
+    src = ensure_stream_events_fixture(spark, sf_dir)
+    run = f"/tmp/gss_streamrun_{uuid.uuid4().hex}"
+    sink, ckpt = os.path.join(run, "sink"), os.path.join(run, "ckpt")
+    schema = StructType([
+        StructField("event_id", LongType(), False),
+        StructField("event_type", StringType(), False),
+        StructField("lon", DoubleType(), False),
+        StructField("lat", DoubleType(), False),
+        StructField("ts", TimestampType(), False),
+    ])
+    polys = _aoi_polys_df(spark, sf_dir)
+
+    def one_pass(max_files: int | None) -> None:
+        stream = spark.readStream.schema(schema)
+        if max_files:
+            stream = stream.option("maxFilesPerTrigger", max_files)
+        joined = pip_join.pip_join(stream.parquet(src), polys, z=7)
+        out = streaming_mod.stream_windowed_zonal_counts(
+            joined, ts_col="ts", window="10 minutes", watermark="20 minutes")
+        q = (out.writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).outputMode("append").start())
+        q.awaitTermination()
+
+    # state-store partitioning is sized PER STREAM on a real deployment
+    # (the shuffle-partition count is frozen into the checkpoint at first
+    # start); 64 session partitions x 5 micro-batches of a small stream is
+    # pure state-file churn
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        one_pass(2)     # incremental micro-batches; sentinel file lands last
+        one_pass(None)  # drain: no new files, flush watermark-expired state
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    got = spark.read.parquet(sink)
+    return (
+        got.filter(F.col("window_start").cast("long") < _STREAM_TS_BASE + 6000)
+        .select(
+            F.col("window_start").cast("long").alias("win_start_s"),
+            "poly_id",
+            F.col("n_images").alias("n_events"),
+        )
+    )
+
+
+SQL_STREAMING_WINDOWED_ZONAL = f"""
+WITH pts AS (SELECT event_id,
+                    {_SQL_LON.format(k='event_id')} AS lon,
+                    {_SQL_LAT.format(k='event_id')} AS lat,
+                    ({_STREAM_TS_BASE} + (event_id * {_STREAM_TS_MULT}) % {_STREAM_TS_MOD}) AS es
+             FROM events),
+rects AS ({_SQL_NATION_RECTS}),
+pairs AS (SELECT es, poly_id FROM pts JOIN rects
+          ON lon > x0 AND lon < x1 AND lat > y0 AND lat < y1)
+SELECT (es // 600) * 600 AS win_start_s, poly_id, COUNT(*) AS n_events
+FROM pairs GROUP BY 1, 2
+"""
+
+
 QUERIES: dict = {
     "pricing_summary": q_pricing_summary,
     "revenue_by_nation": q_revenue_by_nation,
@@ -2582,6 +2733,10 @@ QUERIES: dict = {
     "reproject_utm": q_reproject_utm,
     "reproject_rpc": q_reproject_rpc,
     "seamless_mosaic": q_seamless_mosaic,
+    # Structured Streaming (§2.9) under the FULL oracle: micro-batched
+    # stream-static PIP + watermarked event-time windowed zonal rollup —
+    # the final table is event-time-determined, so DuckDB replays it
+    "streaming_windowed_zonal": q_streaming_windowed_zonal,
 }
 
 ORACLES: dict[str, str] = {
@@ -2654,4 +2809,5 @@ ORACLES: dict[str, str] = {
     "percentiles_exact": SQL_PERCENTILES,
     "coeff_variation": SQL_CV,
     "balanced_sample": SQL_BALANCED_SAMPLE,
+    "streaming_windowed_zonal": SQL_STREAMING_WINDOWED_ZONAL,
 }

@@ -340,3 +340,30 @@ def test_stream_windowed_zonal_kill_and_resume(spark, tmp_path):
     # batch — P:[+0,+10), Q:[+0,+10), Q:[+10,+20) — for batches 0-4;
     # batch 5's windows await a future watermark)
     assert len(got_s) == 15, got_s
+
+
+def test_streaming_windowed_zonal_query_deterministic(spark):
+    """The driver query (§2.9 under the FULL oracle): two invocations —
+    each with a FRESH checkpoint/sink over the shared time-ordered source
+    fixture — produce identical rows, and the fixture really contains
+    in-watermark late data (rows shifted one file later than their
+    event-time slice)."""
+    import numpy as np
+    import pandas as pd
+
+    from gis_scripts_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = sorted(map(tuple, Q.q_streaming_windowed_zonal(spark, sf).collect()))
+    b = sorted(map(tuple, Q.q_streaming_windowed_zonal(spark, sf).collect()))
+    assert a == b and len(a) > 0
+
+    src = Q.ensure_stream_events_fixture(spark, sf)
+    late_seen = 0
+    for part in range(1, 6):
+        pdf = pd.read_parquet(os.path.join(src, f"batch_{part}.parquet"))
+        k = pdf["event_id"].to_numpy(np.int64)
+        secs = (k * Q._STREAM_TS_MULT) % Q._STREAM_TS_MOD
+        # a late row's event time belongs to an EARLIER 15-min slice
+        late_seen += int((np.minimum(secs // 900, 5) < part).sum())
+    assert late_seen > 0
