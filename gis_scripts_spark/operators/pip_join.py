@@ -149,8 +149,9 @@ def pip_join(
     broadcast_cover: bool | str = "auto",
     max_broadcast_polys: int = 100_000,
     max_broadcast_bytes: int = 256 * 1024 * 1024,
-    salt: int | None = None,
+    salt: int | str | None = None,
     hot_cells: list[int] | None = None,
+    skew_sample_fraction: float | None = None,
 ) -> DataFrame:
     """Inner join: rows of `points_df` × matching polygon; the polygon id
     column is NORMALIZED to 'poly_id' in the output whatever the input
@@ -180,10 +181,26 @@ def pip_join(
     cannot see: a hot partition UNDER the skew byte threshold whose
     pandas-UDF work makes it a CPU straggler (AQE detection is byte-based;
     measure_hot_cells counts rows).
+
+    `salt="auto"`: measure the hot cells (one groupBy job — pass
+    `skew_sample_fraction` to estimate from a sample at very large scale)
+    and, if any exist, size the salt at 4x spark.sql.shuffle.partitions
+    per the measured grain rule; with no hot cells the join is unsalted
+    (zero overhead beyond the detection job).
     """
     spark = points_df.sparkSession
     if z == "auto":
         z = auto_zoom(polys_df, wkb_col)
+    if salt == "auto":
+        if hot_cells is None:
+            hot_cells = measure_hot_cells(
+                points_df, z=z, lon=lon, lat=lat,
+                sample_fraction=skew_sample_fraction,
+            )
+        salt = (
+            4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
+            if hot_cells else None
+        )
 
     rows = None
     if broadcast_cover == "auto":
