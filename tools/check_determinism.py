@@ -33,6 +33,7 @@ QUERIES = [
     "hamming256_neardup",  # multiword band join incl. word-boundary extraction
     "exif_gps_zonal",     # EXIF byte path: splice/IFD/rational roundtrip
     "phash_neardup_pairs",  # bytes pipeline: DCT pHash bit-for-bit
+    "streaming_windowed_zonal",  # micro-batched stream: event-time result is parallelism-invariant
 ]
 
 
