@@ -559,6 +559,134 @@ def job_exif(spark, n: int) -> int:
     return n
 
 
+def _ensure_stream_fixture(spark, n: int) -> tuple[str, int]:
+    """Material-size streaming source: 4 one-hour time slices written as
+    separate dirs IN TIME ORDER (mtime order = arrival order for
+    FileStreamSource) + a far-future sentinel dir that finalizes every
+    window, plus the batch-computed expected (rows, matched) reference for
+    the correctness guard. Built once per n, untimed."""
+    import json as _json
+
+    from gis_scripts_spark.operators import pip_join as pj
+    from gis_scripts_spark.sources import synth as synth_mod
+
+    src = f"/tmp/gss_stream_scale_{n}"
+    ref = src + "_expected.json"  # OUTSIDE src: the stream globs src/*
+    if os.path.exists(ref):
+        with open(ref) as f:
+            return src, int(_json.load(f)["matched"])
+
+    def slice_df(s: int):
+        m = n // 4
+        base = spark.range(s * m, (s + 1) * m, 1, 32)
+        k = F.col("id")
+        return base.select(
+            F.col("id").alias("event_id"),
+            (F.lit(-180.0) + ((k * F.lit(2654435761)) % F.lit(360000))
+             .cast("double") / F.lit(1000.0)).alias("lon"),
+            (F.lit(-60.0) + ((k * F.lit(97643)) % F.lit(120000))
+             .cast("double") / F.lit(1000.0)).alias("lat"),
+            F.timestamp_seconds(
+                F.lit(1767225600 + s * 3600) + (k * F.lit(7919)) % F.lit(3600)
+            ).alias("ts"),
+        )
+
+    for s in range(4):  # written sequentially -> increasing dir mtimes
+        slice_df(s).coalesce(8).write.mode("overwrite").parquet(
+            os.path.join(src, f"slice_{s}"))
+    # the sentinel must SURVIVE the stream-static PIP join — a row dropped
+    # by the join never reaches the watermark operator and nothing ever
+    # finalizes (measured: 46% of windows missing with an ocean sentinel) —
+    # so place it at the center of the first AOI polygon's bbox
+    polys = synth_mod.aoi_polygons_df(spark, seed=42)
+    from gis_scripts_spark.geom import core as _geom
+    from gis_scripts_spark.geom import wkb as _wkb
+
+    first = polys.orderBy("poly_id").first()
+    bb = _geom.bbox_of_rings(_wkb.from_wkb(bytes(first["wkb"]))[0])
+    cx, cy = (bb[0] + bb[2]) / 2.0, (bb[1] + bb[3]) / 2.0
+    spark.createDataFrame(
+        [(int(-1), float(cx), float(cy))], "event_id long, lon double, lat double"
+    ).select(
+        "event_id", "lon", "lat",
+        F.timestamp_seconds(F.lit(1767225600 + 864000)).alias("ts"),
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "zz_end"))
+    full = spark.read.parquet(*[os.path.join(src, f"slice_{s}") for s in range(4)])
+    matched = pj.pip_join(full, polys, z=7).count()
+    with open(ref, "w") as f:
+        _json.dump({"rows": n, "matched": matched}, f)
+    return src, matched
+
+
+def job_stream(spark, n: int) -> int:
+    """Structured Streaming at material row count — the stateful path no
+    batch job exercises: file micro-batches through a stream-static PIP
+    join into a watermarked 10-minute windowed zonal rollup, append-mode
+    parquet sink + checkpointed state store. The 2-hour watermark delay
+    (>= one slice span) makes the result independent of batch boundaries
+    (nothing can be late-dropped even if a slice straddles a batch); the
+    sentinel batch + drain pass finalize every window, and the run is
+    guarded by the batch-computed matched-rows reference."""
+    import uuid as _uuid
+
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, TimestampType,
+    )
+
+    from gis_scripts_spark import streaming as streaming_mod
+    from gis_scripts_spark.operators import pip_join as pj
+    from gis_scripts_spark.operators import tile_assign
+    from gis_scripts_spark.sources import synth as synth_mod
+
+    src, matched = _ensure_stream_fixture(spark, n)
+    run_dir = f"/tmp/gss_streamrun_scale_{_uuid.uuid4().hex}"
+    sink, ckpt = os.path.join(run_dir, "sink"), os.path.join(run_dir, "ckpt")
+    schema = StructType([
+        StructField("event_id", LongType(), False),
+        StructField("lon", DoubleType(), False),
+        StructField("lat", DoubleType(), False),
+        StructField("ts", TimestampType(), False),
+    ])
+    polys = synth_mod.aoi_polygons_df(spark, seed=42)
+
+    def one_pass(max_files):
+        stream = spark.readStream.schema(schema)
+        if max_files:
+            stream = stream.option("maxFilesPerTrigger", max_files)
+        # the full flagship per-row work INSIDE the stream (cell + XYZ/
+        # quadkey codegen + S2 Arrow UDF) — without it the job is pure
+        # micro-batch floor (measured: 20M->40M moved the 8-core time by
+        # 0.05 s) and N-vs-4N measures scheduling, not the engine
+        assigned = tile_assign.assign_tiles(
+            stream.parquet(src + "/*"), grid_z=7, tile_z=12, s2_level=12)
+        joined = pj.pip_join(assigned, polys, z=7)
+        out = streaming_mod.stream_windowed_zonal_counts(
+            joined, ts_col="ts", window="10 minutes", watermark="2 hours")
+        q = (out.writeStream.format("parquet")
+             .option("path", sink).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).outputMode("append").start())
+        q.awaitTermination()
+
+    # state-store partitioning is FROZEN into the checkpoint at first start
+    # (a real restart on a bigger cluster keeps it) — pin it across both
+    # levels so N vs 4N measures the data path, not a config artifact
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try:
+        one_pass(8)     # ~4-5 micro-batches (8 files/slice), sentinel last
+        one_pass(None)  # drain: flush watermark-expired state
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
+    got = spark.read.parquet(sink).filter(
+        F.col("window_start").cast("long") < 1767225600 + 5 * 3600
+    ).agg(F.sum("n_images").alias("m")).collect()[0]
+    assert int(got["m"]) == matched, (got["m"], matched)
+    import shutil as _shutil
+
+    _shutil.rmtree(run_dir, ignore_errors=True)
+    return n
+
+
 def job_rank_shuffle(spark, n: int) -> int:
     """CEILING CONTROL for the kNN round-1 shape: the minimal Spark job
     with the same skeleton — a shuffle equi-join whose output feeds a
@@ -732,6 +860,8 @@ def main() -> None:
                     help="corpus vectors for the ann job (queries = ann/8)")
     ap.add_argument("--zip-members", type=int, default=8192,
                     help="members for the zip extraction job (~128 KiB each)")
+    ap.add_argument("--stream-rows", type=int, default=20_000_000,
+                    help="rows for the streaming windowed-zonal job")
     ap.add_argument("--hamming", type=int, default=20_000_000,
                     help="hashes for the banded hamming near-dup job")
     ap.add_argument("--n-cores", type=int, default=4, help="cluster size N proxy")
@@ -809,6 +939,9 @@ def main() -> None:
         ("hamming", job_hamming, args.hamming, 32768),
         # EXIF geotag byte path (build + parse Arrow passes) at material n
         ("exif", job_exif, min(args.points, 2_000_000), 16384),
+        # Structured Streaming at material n: micro-batched stream-static
+        # PIP + watermarked windowed rollup + checkpointed state store
+        ("stream", job_stream, args.stream_rows, 32768),
     ):
         if name not in wanted:
             continue
