@@ -105,6 +105,50 @@ def wait_for_load_floor() -> tuple[bool, float]:
     return os.getloadavg()[0] < LOAD_GATE_THRESHOLD, round(time.monotonic() - t0, 1)
 
 
+def host_calibration() -> dict:
+    """Fixed-work CPU probe recorded into every official record: the load
+    gate cannot see SUSTAINED-THROUGHPUT degradation (round 5 measured a
+    1.4-2x suite-wide drift on unchanged code at loadavg 0.03 —
+    BENCH/host_drift_r5.json), but a known kernel's rate can. Compare this
+    field across records before reading any per-query delta as a
+    regression. Single-core: 400^3 float64 matmul loop. Parallel: the same
+    kernel in min(8, cpus) processes (memory-bus-sensitive)."""
+    import multiprocessing as mp
+    import time as _time
+
+    import numpy as np
+
+    def _kernel(n_iter: int = 12) -> float:
+        a = np.random.default_rng(7).random((400, 400))
+        t0 = _time.perf_counter()
+        for _ in range(n_iter):
+            a = 0.5 * (a @ a) / np.linalg.norm(a)
+        return _time.perf_counter() - t0
+
+    single = _kernel()
+    nproc = min(8, os.cpu_count() or 8)
+    t0 = _time.perf_counter()
+    with mp.get_context("spawn").Pool(nproc) as pool:
+        pool.map(_mp_kernel, [12] * nproc)
+    par = _time.perf_counter() - t0
+    return {
+        "single_core_sec": round(single, 3),
+        f"parallel_{nproc}x_sec": round(par, 3),
+    }
+
+
+def _mp_kernel(n_iter: int) -> float:
+    import time as _time
+
+    import numpy as np
+
+    a = np.random.default_rng(7).random((400, 400))
+    t0 = _time.perf_counter()
+    for _ in range(n_iter):
+        a = 0.5 * (a @ a) / np.linalg.norm(a)
+    return _time.perf_counter() - t0
+
+
 def flagship_pipeline(spark, sf_dir):
     """tile assignment + PIP join in one plan (the north-rule workload)."""
     cust = Q.derived_lonlat(Q._pq(spark, sf_dir, "customer"), "c_custkey")
@@ -125,6 +169,7 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     # settle the host BEFORE spinning up the JVM (the JVM itself adds load)
     load_gated, gate_wait = wait_for_load_floor()
+    calibration = host_calibration()
     spark = get_spark("bench", cores=cores)
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -200,6 +245,7 @@ def main() -> None:
         "loadavg": [round(load_t0, 2), round(os.getloadavg()[0], 2)],
         "load_gated": load_gated,
         "load_gate_wait_sec": gate_wait,
+        "host_calibration": calibration,
         "load_gate_threshold": LOAD_GATE_THRESHOLD,
     }
     print(json.dumps(out))
