@@ -76,10 +76,18 @@ def train_ivf(
     partial-sum update whose result — n_lists x dim scalars — is the only
     thing collected. Empty lists keep their previous centroid (standard
     Lloyd degeneracy handling, deterministic)."""
+    from gis_scripts_spark.operators.repart import spread
+
     vecs = df.select(F.col(vec).alias("_v"))
     if sample_fraction is not None:
         vecs = vecs.sample(fraction=sample_fraction, seed=seed)
-    vecs = vecs.select(F.transform("_v", lambda x: x.cast("double")).alias("_v")).persist()
+    # spread: a single-file embedding table arrives as ONE scan partition —
+    # without this every Lloyd assignment pass runs its Arrow UDF +
+    # posexplode on one core (measured ~3 s/iteration at 20k x 64 vs ~0.4 s
+    # spread; the explode is 64 rows per vector).
+    vecs = spread(
+        vecs.select(F.transform("_v", lambda x: x.cast("double")).alias("_v"))
+    ).persist()
     try:
         init = (
             vecs.withColumn("_h", F.xxhash64(F.to_json(F.struct("_v")), F.lit(seed)))
@@ -247,12 +255,16 @@ def ivf_topk(
     row-identical by construction (same raw values, same float64 kernel,
     same probe sets via the shared float32 ``_probe_rows``).
     """
+    from gis_scripts_spark.operators.repart import spread
+
     if centroids is None:
         centroids = train_ivf(df, n_lists, vec=vec, n_iters=n_iters, seed=seed)
     exclude_self = queries_df is None
     qs = queries_df if queries_df is not None else df
 
-    base = assign_lists(df, centroids, vec=vec).select(
+    # spread before the assignment UDF: single-file scans otherwise run the
+    # whole coarse-quantizer argmax on one core (see train_ivf).
+    base = assign_lists(spread(df, id_col), centroids, vec=vec).select(
         F.col(id_col).alias("_pid"), F.col(vec).alias("_pv"), "_list"
     )
     return _ivf_search(
@@ -377,7 +389,18 @@ def _ivf_search(
                 kk, excl,
             )
 
-        scored = base.groupBy("_list").applyInPandas(list_topk_b, part_schema)
+        # explicit numPartitions repartition before the kernel groupBy: the
+        # post-shuffle bytes are tiny (20k x 64 floats ~ 8 MB) so AQE's
+        # coalescer folds the per-list BLAS stage onto ~4 tasks (measured:
+        # 76 s of executor time serialized 4-wide = 19-24 s wall); an
+        # AQE-exempt repartition on the SAME key keeps the kernel on every
+        # core and the groupBy reuses the partitioning (one Exchange).
+        par = base.sparkSession.sparkContext.defaultParallelism
+        scored = (
+            base.repartition(min(len(centroids), par), "_list")
+            .groupBy("_list")
+            .applyInPandas(list_topk_b, part_schema)
+        )
     else:
         q = qs.select(
             F.col(id_col).alias("_qid"),
@@ -394,9 +417,12 @@ def _ivf_search(
                 kk, excl,
             )
 
+        par = base.sparkSession.sparkContext.defaultParallelism
+        n_part = min(len(centroids), par)
         scored = (
-            q.groupBy("_list")
-            .cogroup(base.groupBy("_list"))
+            q.repartition(n_part, "_list")
+            .groupBy("_list")
+            .cogroup(base.repartition(n_part, "_list").groupBy("_list"))
             .applyInPandas(list_topk, part_schema)
         )
     w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.asc("_pid"))

@@ -21,6 +21,9 @@ Scale shapes:
 from __future__ import annotations
 
 import hashlib
+import itertools
+import os
+import weakref
 
 import numpy as np
 import pandas as pd
@@ -29,6 +32,34 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 _MERSENNE = (1 << 61) - 1
+
+# Invocation counter for plan-salting internal persists (the knn.py
+# CacheManager-aliasing lesson): Spark's CacheManager is PLAN-keyed, so two
+# calls of the same operator over the same input would alias one cache
+# entry — the second call would silently read the first call's
+# materialization (a cross-run result cache the bench rules forbid) and a
+# deferred release from call 1 could drop call 2's data. A per-invocation
+# literal column makes every persist plan unique; a weakref finalizer on
+# the RETURNED frame unpersists as soon as the caller drops it.
+_INVOKE_COUNTER = itertools.count()
+
+
+def _salted_persist(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    tok = int((os.getpid() << 20) ^ next(_INVOKE_COUNTER))
+    salted = df.withColumn("_salt", F.lit(tok)).persist()
+    return salted.drop("_salt"), salted
+
+
+def _finalize_unpersist(out: DataFrame, handles: list[DataFrame]) -> DataFrame:
+    def _release(hs=tuple(reversed(handles))):
+        for h in hs:
+            try:
+                h.unpersist(False)
+            except Exception:
+                pass  # session already stopped
+
+    weakref.finalize(out, _release)
+    return out
 
 
 _TOKEN_CACHE: dict[str, int] = {}
@@ -280,13 +311,21 @@ def simhash_pairs(
     `hash_fn='md5'` makes the token hash SQL-reproducible (DuckDB oracle).
 
     Returns (id_a, id_b, hamming)."""
+    from gis_scripts_spark.operators.repart import spread
+
     sim = simhash_udf(shingle_n, hash_fn)
-    # (measured: repartitioning the scan before the UDF costs more than it
-    # buys here — the 64-bit fold per doc is ~13us, so the candidate join
-    # dominates; the fingerprint/minhash shingle ops are the ones that
-    # need the pre-UDF spread)
-    base = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")).withColumn(
-        "_sh", sim(F.col("_t"))
+    # Two measured fixes from the optimization round's stage capture
+    # (26.7 s at 50k docs, sf1.0):
+    # - spread the scan: a single-file documents table plans the simhash
+    #   UDF on ONE scan partition (24 s of the 26.7 was a 2-task stage);
+    # - persist the signatures: the band self-join's two sides are separate
+    #   subtrees, so without materialization the plan evaluates the UDF
+    #   TWICE (the captured physical plan showed two Scan->ArrowEvalPython
+    #   branches). 50k (id, int64) rows — KBs of storage, released by the
+    #   caller dropping the frame (ContextCleaner), never crosses runs.
+    base, _base_handle = _salted_persist(
+        spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")), id_col)
+        .select("_id", sim(F.col("_t")).alias("_sh"))
     )
     quarters = F.array(
         *[
@@ -310,7 +349,8 @@ def simhash_pairs(
         F.first("_sa").alias("_sa"), F.first("_sb").alias("_sb")
     )
     hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming")
-    return pairs.select("id_a", "id_b", hamming).filter(F.col("hamming") <= max_hamming)
+    out = pairs.select("id_a", "id_b", hamming).filter(F.col("hamming") <= max_hamming)
+    return _finalize_unpersist(out, [_base_handle])
 
 
 def hamming_neardup_pairs(
@@ -551,24 +591,59 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
+    max_fastpath_docs: int = 500_000,
+    max_fastpath_gram_rows: int = 30_000_000,
 ) -> DataFrame:
-    """Exact n-gram (word shingle) Jaccard similarity join — pure DataFrame
-    ops, no Python: posexplode tokens -> lead() window builds shingles ->
-    inverted-index self-join -> |A∩B|/(|A|+|B|-|A∩B|).
+    """Exact n-gram (word shingle) Jaccard similarity join.
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b. The shuffle keys are
-    shingles: random text collides rarely, near-dups collide heavily —
-    exactly the candidate sparsity LSH exploits; this exact variant is the
-    oracle for `minhash_lsh_pairs`."""
-    toks = df.select(
-        F.col(id_col).alias("_id"), F.posexplode(F.split(text_col, " ")).alias("pos", "w")
-    )
-    win = Window.partitionBy("_id").orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", i).over(win) for i in range(1, n)]
-    g = parts[0]
-    for p in parts[1:]:
-        g = F.concat(g, F.lit(" "), p)  # F.concat null-propagates at ends
-    grams = toks.select("_id", g.alias("g")).filter(F.col("g").isNotNull()).distinct()
+    Semantics (both paths, bit-identical): gram set = DISTINCT word
+    n-grams (docs with < n tokens contribute nothing); keep pairs with
+    |A∩B| / (|A|+|B|-|A∩B|) >= threshold, id_a < id_b, jaccard as the
+    float64 division of the exact integer counts.
+
+    Two measured facts drove the optimization-round redesign:
+    - shingles are built with array ops (split -> slice -> array_join)
+      instead of a posexplode + lead() window — same strings, one fewer
+      Exchange + sort;
+    - on small-vocabulary corpora EVERY gram is hot: at 50k docs the
+      fixture has 27,865 distinct trigrams each shared by ~94 docs, so
+      the inverted-index self-join emits 257M rows into a 120M-key
+      hash aggregate (measured 26.8 s, ~700 ns/row of pure join+agg).
+      The FAST PATH (bounded, pip_join-style gate) collects the integer
+      postings (doc_idx, gram_idx) — ints only, ~16 B/row — broadcasts
+      them, and counts pair intersections per doc-block with a
+      vectorized numpy kernel (range-concat + sort-unique), filtering
+      to the threshold INSIDE the task so the 10^8-row pair stream
+      never touches a shuffle. Exactness is unchanged: same gram sets,
+      same integer intersection counts, same float64 jaccard — pytest
+      pins fastpath == join-path on planted corpora, and the driver
+      query keeps its full DuckDB oracle.
+
+    The join formulation remains the scale path (unbounded corpora,
+    non-integer ids) and is used whenever the gates fail."""
+    from gis_scripts_spark.operators.repart import spread
+
+    toks = F.split(F.col("_t"), " ")
+    grams_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    )  # no otherwise: < n tokens -> NULL -> explode drops the doc
+    docs = spread(df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")), id_col)
+    grams = docs.select("_id", F.explode(F.array_distinct(grams_arr)).alias("g"))
+
+    id_type = df.schema[id_col].dataType
+    from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
+
+    integral_id = isinstance(id_type, (IntegerType, LongType))
+    n_docs = df.count() if integral_id else None
+    if integral_id and n_docs <= max_fastpath_docs:
+        gram_rows = grams.count()
+        if gram_rows <= max_fastpath_gram_rows:
+            return _ngram_jaccard_fastpath(grams, id_type, threshold, gram_rows)
+
     sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col("_id").alias("id_a"), "g")
     b = grams.select(F.col("_id").alias("id_b"), "g")
@@ -589,6 +664,89 @@ def ngram_jaccard_pairs(
         )
     )
     return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
+
+
+def _ngram_jaccard_fastpath(grams: DataFrame, id_type, threshold: float,
+                            gram_rows: int) -> DataFrame:
+    """Bounded-size exact all-pairs Jaccard: broadcast integer postings,
+    per-doc-block vectorized intersection counting. See ngram_jaccard_pairs.
+
+    The gram strings never leave the executors: distinct grams get an
+    opaque factorization key (monotonically_increasing_id — any injective
+    assignment works, the value only names the gram), the postings join
+    replaces strings with ints, and only (doc_id, gram_key) ints are
+    collected (gate-bounded rows)."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    spark = grams.sparkSession
+    sc = spark.sparkContext
+    gid_tbl = grams.select("g").distinct().withColumn(
+        "_gid", F.monotonically_increasing_id()
+    )
+    postings = grams.join(gid_tbl, "g").select("_id", "_gid")
+    pdf = postings.toPandas()
+    doc_ids, doc_idx = np.unique(pdf["_id"].to_numpy(np.int64), return_inverse=True)
+    _, gram_idx = np.unique(pdf["_gid"].to_numpy(np.int64), return_inverse=True)
+    n_docs = len(doc_ids)
+    n_grams_d = int(gram_idx.max()) + 1 if len(gram_idx) else 0
+    sizes = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+    order = np.argsort(gram_idx, kind="stable")
+    docs_by_gram = doc_idx[order].astype(np.int64)
+    indptr = np.searchsorted(gram_idx[order], np.arange(n_grams_d + 1))
+    bc = sc.broadcast((doc_ids, sizes, docs_by_gram, indptr, doc_idx, gram_idx))
+
+    n_blocks = max(sc.defaultParallelism, 1)
+    thr = float(threshold)
+
+    out_schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("jaccard", DoubleType()),
+        ]
+    )
+
+    def block_pairs(batches):
+        doc_ids_b, sizes_b, dbg, iptr, didx, gidx = bc.value
+        nd = np.int64(len(doc_ids_b))
+        for pdf_b in batches:
+            for blk in pdf_b["id"].to_numpy():
+                # this block's posting rows: docs with doc_idx % n_blocks == blk
+                sel = (didx % n_blocks) == blk
+                if not sel.any():
+                    continue
+                d_sel = didx[sel]
+                g_sel = gidx[sel]
+                starts = iptr[g_sel]
+                lens = (iptr[g_sel + 1] - starts).astype(np.int64)
+                total = int(lens.sum())
+                if total == 0:
+                    continue
+                # vectorized concatenation of ranges [starts, starts+lens)
+                step = np.ones(total, np.int64)
+                off = np.cumsum(lens)
+                step[0] = starts[0]
+                if len(lens) > 1:
+                    step[off[:-1]] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
+                flat = np.cumsum(step)
+                others = dbg[flat]
+                mine = np.repeat(d_sel, lens)
+                keys = mine * nd + others
+                uk, counts = np.unique(keys, return_counts=True)
+                di = (uk // nd).astype(np.int64)
+                dj = (uk % nd).astype(np.int64)
+                ia = doc_ids_b[di]
+                ib = doc_ids_b[dj]
+                ni = counts.astype(np.float64)
+                jac = ni / (sizes_b[di] + sizes_b[dj] - counts)
+                keep = (ia < ib) & (jac >= thr)
+                if keep.any():
+                    yield pd.DataFrame(
+                        {"id_a": ia[keep], "id_b": ib[keep], "jaccard": jac[keep]}
+                    )
+
+    blocks = spark.range(n_blocks).repartition(n_blocks, "id")
+    return blocks.mapInPandas(block_pairs, out_schema)
 
 
 # -------------------------------------------------------------- clustering
@@ -660,7 +818,18 @@ def minhash_lsh_pairs_sql(
     r = n_perm // bands
     prime = MINHASH_SQL_PRIME
     a_const, b_const = minhash_sql_constants(n_perm)
-    toks = F.split(F.col(text_col), " ")
+    from gis_scripts_spark.operators.repart import spread
+
+    # spread BEFORE the shingle build (optimization-round stage capture at
+    # 50k docs: the explode/md5 of the shingle table ran as 2-task stages
+    # — and ran THREE times, once per downstream consumer, 17.5 s each).
+    # The keyed repartition is AQE-exempt, doubles as the signature
+    # groupBy's pre-shuffle, and at real scale (many input splits) spread
+    # is a no-op.
+    docs = spread(
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")), id_col
+    )
+    toks = F.split(F.col("_t"), " ")
     shingles = F.when(
         F.size(toks) >= shingle_n,
         F.transform(
@@ -668,17 +837,13 @@ def minhash_lsh_pairs_sql(
             lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " "),
         ),
     ).otherwise(toks)
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(shingles)).alias("_sh"),
+    # persist the (doc, shingle) table: consumed by the signature path AND
+    # both sides of the exact-Jaccard intersection join — without the
+    # materialization each consumer re-runs the shingle explode from the
+    # scan (plan-salted + finalizer-released; see _salted_persist).
+    sh, _sh_handle = _salted_persist(
+        docs.select("_id", F.explode(F.array_distinct(shingles)).alias("_sh"))
     )
-    # single-file sources arrive as ONE partition and AQE coalesces the
-    # tiny-by-bytes doc groups to one task even though the per-doc
-    # signature math (n_perm x shingles integer ops) is the heavy stage —
-    # an explicit numPartitions repartition is AQE-exempt and doubles as
-    # the groupBy pre-shuffle
-    sc = df.sparkSession.sparkContext
-    sh = sh.repartition(sc.defaultParallelism, "_id")
     h = (F.conv(F.substring(F.md5("_sh"), 1, 7), 16, 10).cast("long") % prime).alias("_h")
     hs = sh.select("_id", h).groupBy("_id").agg(F.collect_list("_h").alias("_hs"))
     a_arr = F.array(*[F.lit(x) for x in a_const])
@@ -717,8 +882,11 @@ def minhash_lsh_pairs_sql(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact Jaccard on shingle sets, re-joined once per surviving pair
-    counts = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))  # sh is distinct
+    # exact Jaccard on shingle sets, re-joined once per surviving pair.
+    # |shingle set| comes free off the signature path: _hs collects one
+    # hash per (already-distinct) shingle, so size(_hs) == the groupBy
+    # count — one fewer pass over sh.
+    counts = hs.select("_id", F.size("_hs").cast("long").alias("_n"))
     inter = (
         cand.join(sh.select(F.col("_id").alias("id_a"), "_sh"), "id_a")
         .join(sh.select(F.col("_id").alias("id_b"), "_sh"), ["id_b", "_sh"])
@@ -737,7 +905,7 @@ def minhash_lsh_pairs_sql(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return out
+    return _finalize_unpersist(out, [_sh_handle])
 
 
 def cluster_pairs_distributed(

@@ -321,26 +321,91 @@ def lsh_topk(
     buckets, candidates = same-bucket pairs in any table, exact re-rank.
     Recall grows with n_tables.
 
-    Scale shape (r4 verdict #2): the candidate stage is ids-only
-    (`lsh_candidates` — embeddings never enter an Exchange there; plan
-    gate in tests/test_plans.py); vectors are re-joined ONCE onto the
-    deduped pair list for the exact cosine re-rank, so the embedding
-    payload crosses the wire exactly twice (once per pair side), not
-    n_tables+1 times."""
-    base = with_norm(df.select(F.col(id_col).alias("_pid"), F.col(vec).alias("_pv")), "_pv", "_pn")
-    cand = lsh_candidates(df, id_col, vec, dim, n_planes, n_tables)
+    Scale shape (rebuilt in the optimization round from stage-level
+    measurement): the re-rank runs as ONE float64 BLAS kernel per
+    (table, bucket) group — the `_chunked_list_topk` shape `ann_ivf`
+    uses per inverted list, applied per LSH bucket. The r4/r5 ids-only
+    candidate-join formulation (`lsh_candidates` + two vector re-joins +
+    a zip_with/aggregate dot per pair) shipped each embedding once per
+    CANDIDATE PAIR side (2 x pairs vectors ~ 2 x occupancy x n_tables
+    copies per vector) and evaluated the dot interpreted per element —
+    measured 58.8 s at 20k x 64 / 6 tables (41.8 s of it the 2-task
+    scan-side stage, the rest the 470 s-of-executor-time pair stage).
+    Grouping by bucket instead ships each vector exactly `n_tables`
+    times through ONE Exchange (46 MB vs 282 MB here), the per-bucket
+    top-k is a vectorized matmul, and the downstream dedup + rank window
+    carry (qid, pid, sim) scalars only.
 
-    qside = base.select(
-        F.col("_pid").alias("_qid"), F.col("_pv").alias("_qv"), F.col("_pn").alias("_qn")
+    Exactness: within a bucket the global candidate set restricted to
+    that bucket contains every global top-k member that co-occurs there
+    (anything ranked above it is globally top-k too), so the union of
+    per-bucket top-k lists ⊇ the top-k over all candidate pairs — the
+    same subset argument `ann_ivf` documents for partitioned lists,
+    valid for overlapping buckets because duplicate (q, p) pairs carry
+    identical sims (same raw vectors, same kernel). Ties break by
+    (sim desc, pid asc) inside the kernel via pid-sorted stable argsort,
+    identical to `cosine_topk`/`ann_ivf`; pytest re-pins recall and
+    exact-on-candidates equality, and the driver query stays under the
+    full DuckDB value-hash oracle."""
+    from gis_scripts_spark.operators.repart import spread
+
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    qid_type = df.schema[id_col].dataType
+    kernel_schema = StructType(
+        [
+            StructField("_qid", qid_type),
+            StructField("_pid", qid_type),
+            StructField("_sim", DoubleType()),
+        ]
     )
-    pairs = cand.join(qside, "_qid").join(base, "_pid")
-    qv = F.transform(F.col("_qv"), lambda x: x.cast("double"))
-    pv = F.transform(F.col("_pv"), lambda x: x.cast("double"))
-    sim = (_dot(qv, pv) / (F.col("_qn") * F.col("_pn"))).alias("_sim")
-    pairs = pairs.select("_qid", "_pid", sim)
+
+    base = spread(df.select(F.col(id_col).alias("_pid"), F.col(vec).alias("_pv")), "_pid")
+    sigs = lsh_multi_signature_udf(dim, n_planes, n_tables)
+    keyed = (
+        base.select("_pid", "_pv", sigs(F.col("_pv")).alias("_sigs"))
+        .select("_pid", "_pv", F.posexplode("_sigs").alias("_t", "_bucket"))
+        # explicit numPartitions repartition: AQE-exempt, so the coalescer
+        # cannot fold this small-bytes / compute-heavy kernel stage onto a
+        # handful of tasks; groupBy below reuses this exact partitioning
+        # (ClusteredDistribution satisfied), so vectors cross ONE Exchange.
+        .repartition(par, "_t", "_bucket")
+    )
+    kk = int(k)
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({f.name: [] for f in kernel_schema.fields})
+        pdf = pdf.sort_values("_pid", kind="mergesort")
+        ids = pdf["_pid"].to_numpy()
+        m = np.stack(pdf["_pv"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(m, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        m /= nrm
+        sims = m @ m.T
+        sims[ids[:, None] == ids[None, :]] = -np.inf  # exclude self by id
+        mm = min(kk, n - 1)
+        # stable argsort over pid-sorted columns = (sim desc, pid asc) ties
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :mm]
+        ssel = np.take_along_axis(sims, order, axis=1)
+        keep = np.isfinite(ssel)
+        cnt = keep.sum(axis=1)
+        return pd.DataFrame(
+            {
+                "_qid": np.repeat(ids, cnt),
+                "_pid": ids[order[keep]],
+                "_sim": ssel[keep],
+            }
+        )
+
+    scored = keyed.groupBy("_t", "_bucket").applyInPandas(bucket_topk, kernel_schema)
+    # duplicate (q, p) pairs across tables/buckets carry identical sims —
+    # max() is a deterministic representative; map-side combinable.
+    agg = scored.groupBy("_qid", "_pid").agg(F.max("_sim").alias("_sim"))
     w = Window.partitionBy("_qid").orderBy(F.desc("_sim"), F.asc("_pid"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        agg.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
             F.col("_qid").alias("query_id"),
