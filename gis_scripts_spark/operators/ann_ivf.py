@@ -213,9 +213,14 @@ def _chunked_list_topk(
         qid = qids[s : s + q_chunk]
         if excl:
             sims[qid[:, None] == pid[None, :]] = -np.inf
-        top = np.argsort(-sims, axis=1, kind="stable")[:, :m]
+        # pid-sorted columns + first-max argmax passes keep the exact
+        # (sim desc, pid asc) tie contract at O(k*nq*nc) — the full stable
+        # argsort (O(nq*nc*log nc)) dominated this kernel in the stage
+        # capture (see similarity.topk_passes)
+        from gis_scripts_spark.operators.similarity import topk_passes
+
+        top, tsim = topk_passes(sims, m)
         top_pid = pid[top]
-        tsim = np.take_along_axis(sims, top, axis=1)
         keep = np.isfinite(tsim)
         cnt = keep.sum(axis=1)
         outs.append(pd.DataFrame(

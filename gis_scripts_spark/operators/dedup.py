@@ -341,15 +341,22 @@ def simhash_pairs(
     )
     left = blocked.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sa"), "q", "qv")
     right = blocked.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sb"), "q", "qv")
-    pairs = left.join(right, ["q", "qv"]).filter(F.col("id_a") < F.col("id_b"))
-    # report-once via groupBy (map-side partial agg), NOT a window
-    # row_number (which would shuffle AND sort every candidate). _sa/_sb
-    # are functionally dependent on id_a/id_b, so F.first is deterministic.
-    pairs = pairs.groupBy("id_a", "id_b").agg(
-        F.first("_sa").alias("_sa"), F.first("_sb").alias("_sb")
+    # the hamming refine runs INSIDE the join stage, BEFORE the report-once
+    # groupBy (the hamming_neardup_pairs lesson, re-measured here: at 50k
+    # docs the 16-bit quarters collide quadratically — ~76M candidate rows,
+    # a 387 MB Exchange — while true near-dups are a few hundred rows;
+    # hamming is a function of the pair, so the filter commutes with the
+    # dedup exactly and the groupBy exchange shrinks to the survivors).
+    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb")))
+    pairs = (
+        left.join(right, ["q", "qv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
     )
-    hamming = F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming")
-    out = pairs.select("id_a", "id_b", hamming).filter(F.col("hamming") <= max_hamming)
+    # report-once via groupBy (map-side partial agg), NOT a window
+    # row_number (which would shuffle AND sort every candidate).
+    out = pairs.groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming"))
     return _finalize_unpersist(out, [_base_handle])
 
 
@@ -638,11 +645,15 @@ def ngram_jaccard_pairs(
     from pyspark.sql.types import DoubleType, IntegerType, LongType, StructField, StructType
 
     integral_id = isinstance(id_type, (IntegerType, LongType))
-    n_docs = df.count() if integral_id else None
+    n_docs = df.count() if integral_id else None  # parquet metadata count
     if integral_id and n_docs <= max_fastpath_docs:
-        gram_rows = grams.count()
-        if gram_rows <= max_fastpath_gram_rows:
-            return _ngram_jaccard_fastpath(grams, id_type, threshold, gram_rows)
+        # token count >= distinct-gram count, so one cheap scan-side agg
+        # upper-bounds the collect (no extra pass over the gram explode)
+        est = docs.agg(
+            F.sum(F.size(F.split(F.col("_t"), " "))).alias("s")
+        ).collect()[0]["s"] or 0
+        if est <= max_fastpath_gram_rows:
+            return _ngram_jaccard_fastpath(grams, id_type, threshold)
 
     sizes = grams.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
     a = grams.select(F.col("_id").alias("id_a"), "g")
@@ -666,36 +677,37 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold).select("id_a", "id_b", "jaccard")
 
 
-def _ngram_jaccard_fastpath(grams: DataFrame, id_type, threshold: float,
-                            gram_rows: int) -> DataFrame:
-    """Bounded-size exact all-pairs Jaccard: broadcast integer postings,
-    per-doc-block vectorized intersection counting. See ngram_jaccard_pairs.
-
-    The gram strings never leave the executors: distinct grams get an
-    opaque factorization key (monotonically_increasing_id — any injective
-    assignment works, the value only names the gram), the postings join
-    replaces strings with ints, and only (doc_id, gram_key) ints are
-    collected (gate-bounded rows)."""
+def _ngram_jaccard_fastpath(grams: DataFrame, id_type, threshold: float) -> DataFrame:
+    """Bounded-size exact all-pairs Jaccard: collect the (gate-bounded)
+    gram table once, factorize gram strings on the driver (any injective
+    assignment works — the code only names the gram), broadcast the
+    integer postings in both orderings, and count pair intersections with
+    a per-doc cache-resident kernel. See ngram_jaccard_pairs."""
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     spark = grams.sparkSession
     sc = spark.sparkContext
-    gid_tbl = grams.select("g").distinct().withColumn(
-        "_gid", F.monotonically_increasing_id()
-    )
-    postings = grams.join(gid_tbl, "g").select("_id", "_gid")
-    pdf = postings.toPandas()
+    pdf = grams.toPandas()
     doc_ids, doc_idx = np.unique(pdf["_id"].to_numpy(np.int64), return_inverse=True)
-    _, gram_idx = np.unique(pdf["_gid"].to_numpy(np.int64), return_inverse=True)
+    gram_idx = pd.factorize(pdf["g"])[0]
     n_docs = len(doc_ids)
     n_grams_d = int(gram_idx.max()) + 1 if len(gram_idx) else 0
     sizes = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
-    order = np.argsort(gram_idx, kind="stable")
-    docs_by_gram = doc_idx[order].astype(np.int64)
-    indptr = np.searchsorted(gram_idx[order], np.arange(n_grams_d + 1))
-    bc = sc.broadcast((doc_ids, sizes, docs_by_gram, indptr, doc_idx, gram_idx))
+    # BOTH orderings of the postings, int32 (indices are gate-bounded):
+    # per-doc gram lists drive the kernel loop, per-gram doc lists get
+    # gathered per doc.
+    order_d = np.argsort(doc_idx, kind="stable")
+    grams_by_doc = gram_idx[order_d].astype(np.int32)
+    iptr_d = np.searchsorted(doc_idx[order_d], np.arange(n_docs + 1)).astype(np.int64)
+    order_g = np.argsort(gram_idx, kind="stable")
+    docs_by_gram = doc_idx[order_g].astype(np.int32)
+    iptr_g = np.searchsorted(gram_idx[order_g], np.arange(n_grams_d + 1)).astype(np.int64)
+    bc = sc.broadcast((doc_ids, sizes, grams_by_doc, iptr_d, docs_by_gram, iptr_g))
 
-    n_blocks = max(sc.defaultParallelism, 1)
+    # one block per core slot (defaultParallelism is 2x slots here): the
+    # kernel is one pass over the postings, extra waves only add per-task
+    # fixed cost (broadcast load, worker dispatch)
+    n_blocks = max(sc.defaultParallelism // 2, 1)
     thr = float(threshold)
 
     out_schema = StructType(
@@ -707,47 +719,71 @@ def _ngram_jaccard_fastpath(grams: DataFrame, id_type, threshold: float,
     )
 
     def block_pairs(batches):
-        doc_ids_b, sizes_b, dbg, iptr, didx, gidx = bc.value
-        nd = np.int64(len(doc_ids_b))
+        # Per-DOC counting in cache-resident chunks: for each of my docs,
+        # concatenate its grams' posting lists (|A| x avg-posting ints),
+        # keep ids above mine (np.unique doc order == original id order,
+        # so this IS the id_a < id_b filter), sort the few-thousand-element
+        # chunk IN CACHE, and run-length it into per-neighbor intersection
+        # counts. Two block-wide alternatives were built and measured under
+        # 32-way parallelism on this host and REVERTED: a composite-key
+        # bincount (zeroing ~300 MB count arrays saturated the memory bus)
+        # and a single block-wide 4M-element key sort (8M-element gathers/
+        # cumsums + the big sort are pure membus traffic: 9.1 s wall vs
+        # 0.25 s for this per-doc form on identical inputs).
+        doc_ids_b, sizes_b, gbd, iptr_d_b, dbg, iptr_g_b = bc.value
+        nd = len(doc_ids_b)
         for pdf_b in batches:
             for blk in pdf_b["id"].to_numpy():
-                # this block's posting rows: docs with doc_idx % n_blocks == blk
-                sel = (didx % n_blocks) == blk
-                if not sel.any():
-                    continue
-                d_sel = didx[sel]
-                g_sel = gidx[sel]
-                starts = iptr[g_sel]
-                lens = (iptr[g_sel + 1] - starts).astype(np.int64)
-                total = int(lens.sum())
-                if total == 0:
-                    continue
-                # vectorized concatenation of ranges [starts, starts+lens)
-                step = np.ones(total, np.int64)
-                off = np.cumsum(lens)
-                step[0] = starts[0]
-                if len(lens) > 1:
-                    step[off[:-1]] = starts[1:] - (starts[:-1] + lens[:-1] - 1)
-                flat = np.cumsum(step)
-                others = dbg[flat]
-                mine = np.repeat(d_sel, lens)
-                keys = mine * nd + others
-                uk, counts = np.unique(keys, return_counts=True)
-                di = (uk // nd).astype(np.int64)
-                dj = (uk % nd).astype(np.int64)
-                ia = doc_ids_b[di]
-                ib = doc_ids_b[dj]
-                ni = counts.astype(np.float64)
-                jac = ni / (sizes_b[di] + sizes_b[dj] - counts)
-                keep = (ia < ib) & (jac >= thr)
-                if keep.any():
+                out_a, out_b, out_j = [], [], []
+                for d in range(int(blk), nd, n_blocks):
+                    gs = gbd[iptr_d_b[d]:iptr_d_b[d + 1]]
+                    if len(gs) == 0:
+                        continue
+                    starts = iptr_g_b[gs]
+                    ends = iptr_g_b[gs + 1]
+                    others = np.concatenate(
+                        [dbg[s:e] for s, e in zip(starts.tolist(), ends.tolist())]
+                    )
+                    others = others[others > d]
+                    if len(others) == 0:
+                        continue
+                    others.sort()
+                    umask = np.empty(len(others), bool)
+                    umask[0] = True
+                    np.not_equal(others[1:], others[:-1], out=umask[1:])
+                    idxs = np.flatnonzero(umask)
+                    counts = np.diff(np.append(idxs, len(others)))
+                    dj = others[idxs].astype(np.int64)
+                    na = sizes_b[d]
+                    nb_ = sizes_b[dj]
+                    # integer prefilter (exact superset of the float
+                    # threshold at thr=0.5: j >= 0.5 <=> 3*ni >= na+nb; +1
+                    # slack guards the boundary), then the float64 division
+                    # — the same IEEE op the SQL formulation performs.
+                    if thr == 0.5:
+                        pre = counts * 3 + 1 >= na + nb_
+                        dj, counts, nb_ = dj[pre], counts[pre], nb_[pre]
+                    if len(counts) == 0:
+                        continue
+                    jac = counts.astype(np.float64) / (na + nb_ - counts)
+                    keep = jac >= thr
+                    if keep.any():
+                        out_a.append(np.full(int(keep.sum()), doc_ids_b[d]))
+                        out_b.append(doc_ids_b[dj[keep]])
+                        out_j.append(jac[keep])
+                if out_a:
                     yield pd.DataFrame(
-                        {"id_a": ia[keep], "id_b": ib[keep], "jaccard": jac[keep]}
+                        {
+                            "id_a": np.concatenate(out_a),
+                            "id_b": np.concatenate(out_b),
+                            "jaccard": np.concatenate(out_j),
+                        }
                     )
 
-    blocks = spark.range(n_blocks).repartition(n_blocks, "id")
+    # range(0, n, 1, n): one consecutive id per partition — no hash
+    # collisions piling 2-3 blocks onto one task while others sit idle
+    blocks = spark.range(0, n_blocks, 1, n_blocks)
     return blocks.mapInPandas(block_pairs, out_schema)
-
 
 # -------------------------------------------------------------- clustering
 def cluster_pairs(pairs_pdf: pd.DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> pd.DataFrame:
@@ -846,19 +882,27 @@ def minhash_lsh_pairs_sql(
     )
     h = (F.conv(F.substring(F.md5("_sh"), 1, 7), 16, 10).cast("long") % prime).alias("_h")
     hs = sh.select("_id", h).groupBy("_id").agg(F.collect_list("_h").alias("_hs"))
-    a_arr = F.array(*[F.lit(x) for x in a_const])
-    b_arr = F.array(*[F.lit(x) for x in b_const])
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_perm - 1)),
-        lambda p: F.array_min(
-            F.transform(
-                F.col("_hs"),
-                lambda x: (F.element_at(a_arr, p + F.lit(1)) * x
-                           + F.element_at(b_arr, p + F.lit(1))) % F.lit(prime),
-            )
-        ),
-    )
-    with_sig = hs.select("_id", sig.alias("_sig"))
+    # affine permutations + min as ONE vectorized numpy kernel per batch:
+    # the nested transform/array_min Column formulation evaluates
+    # interpreted per (perm, shingle) pair — measured ~50 s of executor
+    # time per run at 50k docs where this kernel is <2 s. Arithmetic is
+    # IDENTICAL: a, b, h < P = 2^26, so a*h + b < 2^52 is exact in int64
+    # and numpy's % matches SQL's % on non-negatives — the sig values
+    # (and the md5 band hashes built from them) are bit-equal, keeping
+    # the DuckDB oracle.
+    a_np = np.asarray(a_const, np.int64)[:, None]
+    b_np = np.asarray(b_const, np.int64)[:, None]
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def sig_udf(hs_col: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                ((a_np * np.asarray(hvals, np.int64)[None, :] + b_np) % prime).min(axis=1)
+                for hvals in hs_col
+            ]
+        )
+
+    with_sig = hs.select("_id", sig_udf(F.col("_hs")).alias("_sig"))
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
