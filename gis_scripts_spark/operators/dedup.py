@@ -829,9 +829,8 @@ def minhash_lsh_pairs_sql(
     shingle_n: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Banded MinHash LSH with an SQL-portable hash family — ZERO Python in
-    the plan (pure Column math, whole-stage codegen) and bit-reproducible
-    in ANSI SQL, which makes the driver row a full oracle.
+    """Banded MinHash LSH with an SQL-portable hash family, bit-reproducible
+    in ANSI SQL — which makes the driver row a full oracle.
 
     Definition (mirrored verbatim by the DuckDB oracle, SQL_MINHASH):
       shingle set = DISTINCT word `shingle_n`-grams (tokens themselves when
@@ -844,11 +843,11 @@ def minhash_lsh_pairs_sql(
       candidates  = pairs sharing any (band, bhash), id_a < id_b
       jaccard     = exact |A∩B|/|A∪B| on shingle sets; keep >= threshold
 
-    Scale shape: the signature is computed in ONE codegen expression per
-    document (collect_list of shingle hashes -> nested transform/array_min
-    — no per-permutation row explosion); the sig shuffle is docs rows; the
-    banded self-join carries (id, band, bhash) only; shingle sets re-join
-    once per surviving candidate for the exact-Jaccard verify."""
+    Scale shape: each doc crosses the Python boundary ONCE and its whole
+    per-doc pipeline (shingle/hash/signature mins) runs in one vectorized
+    Arrow kernel — no shingle explode, no collect_list shuffle; the banded
+    self-join carries (id, band, bhash) only; texts re-join once per
+    surviving candidate for the exact string-set Jaccard verify."""
     if n_perm % bands != 0:
         raise ValueError("bands must divide n_perm")
     r = n_perm // bands
@@ -857,52 +856,56 @@ def minhash_lsh_pairs_sql(
     from gis_scripts_spark.operators.repart import spread
 
     # spread BEFORE the shingle build (optimization-round stage capture at
-    # 50k docs: the explode/md5 of the shingle table ran as 2-task stages
-    # — and ran THREE times, once per downstream consumer, 17.5 s each).
-    # The keyed repartition is AQE-exempt, doubles as the signature
-    # groupBy's pre-shuffle, and at real scale (many input splits) spread
-    # is a no-op.
+    # 50k docs: a single-file scan plans the whole per-doc pipeline on 1-2
+    # tasks). The keyed repartition is AQE-exempt; at real scale (many
+    # input splits) spread is a no-op.
     docs = spread(
         df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t")), id_col
     )
-    toks = F.split(F.col("_t"), " ")
-    shingles = F.when(
-        F.size(toks) >= shingle_n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - shingle_n),
-            lambda i: F.array_join(F.slice(toks, i + 1, shingle_n), " "),
-        ),
-    ).otherwise(toks)
-    # persist the (doc, shingle) table: consumed by the signature path AND
-    # both sides of the exact-Jaccard intersection join — without the
-    # materialization each consumer re-runs the shingle explode from the
-    # scan (plan-salted + finalizer-released; see _salted_persist).
-    sh, _sh_handle = _salted_persist(
-        docs.select("_id", F.explode(F.array_distinct(shingles)).alias("_sh"))
-    )
-    h = (F.conv(F.substring(F.md5("_sh"), 1, 7), 16, 10).cast("long") % prime).alias("_h")
-    hs = sh.select("_id", h).groupBy("_id").agg(F.collect_list("_h").alias("_hs"))
-    # affine permutations + min as ONE vectorized numpy kernel per batch:
-    # the nested transform/array_min Column formulation evaluates
-    # interpreted per (perm, shingle) pair — measured ~50 s of executor
-    # time per run at 50k docs where this kernel is <2 s. Arithmetic is
-    # IDENTICAL: a, b, h < P = 2^26, so a*h + b < 2^52 is exact in int64
-    # and numpy's % matches SQL's % on non-negatives — the sig values
-    # (and the md5 band hashes built from them) are bit-equal, keeping
-    # the DuckDB oracle.
+    # ONE Python stage for shingle + hash + signature (optimization round):
+    # every JVM formulation measured worse at 50k docs — the exploded
+    # string-shingle table re-shuffled through collect_list cost three
+    # passes of the doc pipeline (6.1 s), persisting it serialized the
+    # consumers on cache-block locks (12.8 s), and a per-element
+    # `transform(md5)` array formulation pays the interpreted
+    # higher-order-function path per shingle (stage capture: 2x the codegen
+    # explode). Here the text crosses the Python boundary once per doc and
+    # everything per-doc happens in one vectorized kernel. Values are
+    # BIT-IDENTICAL to the SQL oracle: hashlib.md5 == SQL md5, the first 7
+    # hex chars == digest[:4] >> 4, and a, b, h < P = 2^26 keep a*h + b <
+    # 2^52 exact in int64 (numpy % == SQL % on non-negatives), so the sig
+    # mins and the md5 band hashes built from them are unchanged.
     a_np = np.asarray(a_const, np.int64)[:, None]
     b_np = np.asarray(b_const, np.int64)[:, None]
 
     @F.pandas_udf(ArrayType(LongType()))
-    def sig_udf(hs_col: pd.Series) -> pd.Series:
-        return pd.Series(
-            [
-                ((a_np * np.asarray(hvals, np.int64)[None, :] + b_np) % prime).min(axis=1)
-                for hvals in hs_col
-            ]
-        )
+    def sig_udf(t_col: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+        out = []
+        for t in t_col:
+            toks = t.split(" ")
+            if len(toks) >= shingle_n:
+                sset = {" ".join(toks[i:i + shingle_n])
+                        for i in range(len(toks) - shingle_n + 1)}
+            else:
+                sset = set(toks)
+            hv = np.fromiter(
+                (int.from_bytes(md5(s.encode()).digest()[:4], "big") >> 4
+                 for s in sset),
+                dtype=np.int64, count=len(sset),
+            ) % prime
+            out.append(((a_np * hv[None, :] + b_np) % prime).min(axis=1))
+        return pd.Series(out)
 
-    with_sig = hs.select("_id", sig_udf(F.col("_hs")).alias("_sig"))
+    # persist the (id, sig) table: the band self-join's two sides are
+    # separate subtrees (the planner broadcasts one), so without
+    # materialization the signature UDF runs twice — and unlike the old
+    # multi-million-row shingle cache this is one 64-long array per doc.
+    # Released when the caller drops the returned frame (see _pin in
+    # queries.py for why wrappers must keep it alive).
+    with_sig, _sig_handle = _salted_persist(
+        docs.select("_id", sig_udf(F.col("_t")).alias("_sig"))
+    )
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
@@ -918,38 +921,53 @@ def minhash_lsh_pairs_sql(
     banded = with_sig.select(
         "_id", F.explode(band_structs).alias("_b")
     ).select("_id", F.col("_b.band").alias("band"), F.col("_b.bhash").alias("bhash"))
-    left = banded.select(F.col("_id").alias("id_a"), "band", "bhash")
-    right = banded.select(F.col("_id").alias("id_b"), "band", "bhash")
+    # self-join via alias so BOTH sides are the same canonical subtree: the
+    # join's shuffle is written once and ReusedExchange serves the other
+    # side — with distinct left/right projections the signature UDF ran
+    # twice (stage capture: two identical ~27 s stages per run).
+    ba, bb = banded.alias("_ba"), banded.alias("_bb")
     cand = (
-        left.join(right, ["band", "bhash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        ba.join(
+            bb,
+            (F.col("_ba.band") == F.col("_bb.band"))
+            & (F.col("_ba.bhash") == F.col("_bb.bhash"))
+            & (F.col("_ba._id") < F.col("_bb._id")),
+        )
+        .select(F.col("_ba._id").alias("id_a"), F.col("_bb._id").alias("id_b"))
         .distinct()
     )
-    # exact Jaccard on shingle sets, re-joined once per surviving pair.
-    # |shingle set| comes free off the signature path: _hs collects one
-    # hash per (already-distinct) shingle, so size(_hs) == the groupBy
-    # count — one fewer pass over sh.
-    counts = hs.select("_id", F.size("_hs").cast("long").alias("_n"))
-    inter = (
-        cand.join(sh.select(F.col("_id").alias("id_a"), "_sh"), "id_a")
-        .join(sh.select(F.col("_id").alias("id_b"), "_sh"), ["id_b", "_sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
+    # exact Jaccard per surviving pair: texts re-joined once per candidate
+    # (candidates are the band collisions — a vanishing fraction of docs),
+    # shingle STRING sets intersected in one vectorized kernel. Set math on
+    # the strings themselves, not hashes, so the value matches the oracle's
+    # string-distinct intersection exactly; IEEE double division is
+    # bit-identical to SQL's.
+    ta = docs.select(F.col("_id").alias("id_a"), F.col("_t").alias("_ta"))
+    tb = docs.select(F.col("_id").alias("id_b"), F.col("_t").alias("_tb"))
+
+    @F.pandas_udf("double")
+    def jac_udf(a_col: pd.Series, b_col: pd.Series) -> pd.Series:
+        def sset(t: str) -> set:
+            toks = t.split(" ")
+            if len(toks) >= shingle_n:
+                return {" ".join(toks[i:i + shingle_n])
+                        for i in range(len(toks) - shingle_n + 1)}
+            return set(toks)
+
+        out = np.empty(len(a_col))
+        for i, (x, y) in enumerate(zip(a_col, b_col)):
+            sa, sb = sset(x), sset(y)
+            inter = len(sa & sb)
+            out[i] = inter / (len(sa) + len(sb) - inter)
+        return pd.Series(out)
+
     out = (
-        cand.join(inter, ["id_a", "id_b"], "left")
-        .join(counts.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
-        .join(counts.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
-        .select(
-            "id_a", "id_b",
-            (F.coalesce(F.col("_inter"), F.lit(0)).cast("double")
-             / (F.col("_na") + F.col("_nb") - F.coalesce(F.col("_inter"), F.lit(0)))
-             ).alias("jaccard"),
-        )
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", jac_udf(F.col("_ta"), F.col("_tb")).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    return _finalize_unpersist(out, [_sh_handle])
+    return _finalize_unpersist(out, [_sig_handle])
 
 
 def cluster_pairs_distributed(

@@ -53,6 +53,21 @@ def _pq(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _pin(child: DataFrame, *parents: DataFrame) -> DataFrame:
+    """Keep operator-returned frames alive for the lifetime of a wrapper
+    projection built on top of them. Operators (knn_join, simhash_pairs,
+    minhash_lsh_pairs_sql, ...) release their internal persists via a
+    weakref finalizer on the frame THEY return; a wrapper's `.select(...)`
+    produces a new DataFrame with no Python reference to that parent, so
+    without this pin the finalizer fires the moment the wrapper returns and
+    every internal cache is dropped BEFORE the query executes (measured:
+    the minhash shingle table recomputed 3x per run, knn's points cache
+    rebuilt every round). The pin defers the release to when the caller
+    drops the wrapped frame — caches still never outlive one invocation."""
+    child._gss_pinned = parents
+    return child
+
+
 def derived_lonlat(df: DataFrame, key: str) -> DataFrame:
     """lon/lat from an integer key — identical math to _SQL_LON/_SQL_LAT."""
     k = F.col(key).cast("long")
@@ -489,7 +504,7 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust, cust, k=5, z=6, point_id="c_custkey", query_id="c_custkey",
         metric="euclid2", exclude_self=True,
     )
-    return out.select("query_id", "neighbor_id", "rank")
+    return _pin(out.select("query_id", "neighbor_id", "rank"), out)
 
 
 SQL_KNN = f"""
@@ -675,7 +690,7 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blake2b 128-perm variant keeps its recall>=0.9 pytest."""
     docs = _pq(spark, sf_dir, "documents")
     out = dedup.minhash_lsh_pairs_sql(docs, n_perm=64, bands=16, shingle_n=3, threshold=0.5)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return _pin(out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")), out)
 
 
 def _sql_minhash() -> str:
@@ -734,7 +749,9 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming join."""
     docs = _pq(spark, sf_dir, "documents")
     out = dedup.simhash_pairs(docs, max_hamming=3, shingle_n=1, hash_fn="md5")
-    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    return _pin(
+        out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming")), out
+    )
 
 
 SQL_SIMHASH = """
