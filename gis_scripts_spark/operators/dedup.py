@@ -483,41 +483,75 @@ def hamming_neardup_pairs_multiword(
     wcols = [F.col(hash_col).getItem(i).alias(f"_w{i}") for i in range(n_words)]
     base = df.select(F.col(id_col).alias("_id"), *wcols)
     words = [F.col(f"_w{i}") for i in range(n_words)]
-    keys = F.array(
-        *[
-            F.struct(F.lit(b).alias("b"), _mw_band_col(words, s, wd).alias("bv"))
-            for b, s, wd in bands
-        ]
-    )
     wnames = [f"_w{i}" for i in range(n_words)]
-    blocked = base.withColumn("_b", F.explode(keys)).select(
-        "_id", *wnames, F.col("_b.b").alias("b"), F.col("_b.bv").alias("bv")
-    )
-    left = blocked.select(
-        F.col("_id").alias("id_a"), *[F.col(w).alias(f"_a{i}") for i, w in enumerate(wnames)],
-        "b", "bv",
-    )
-    right = blocked.select(
-        F.col("_id").alias("id_b"), *[F.col(w).alias(f"_b{i}") for i, w in enumerate(wnames)],
-        "b", "bv",
-    )
-    # map-side refine before the report-once shuffle (same rationale as the
-    # 64-bit version above: random band collisions dominate the candidate
-    # volume and almost all fail the distance test)
-    hamming = sum(
-        F.bit_count(F.col(f"_a{i}").bitwiseXOR(F.col(f"_b{i}"))) for i in range(n_words)
-    )
+    # pack (band index, band value) into ONE int64 join key when the band
+    # value provably fits 57 bits (band count <= 33 < 64 needs 6 bits):
+    # halves the join-key bytes in the exchange and makes hashing/probing a
+    # single-long compare. Falls back to the two-column key for >=58-bit
+    # bands (only reachable at n_words > 8).
+    packed = max(wd for _, _, wd in bands) <= 57
+    if packed:
+        keys = F.array(
+            *[
+                F.shiftleft(_mw_band_col(words, s, wd), 6).bitwiseOR(F.lit(b))
+                for b, s, wd in bands
+            ]
+        )
+        blocked = base.withColumn("_bk", F.explode(keys)).select("_id", "_bk")
+        join_cols = ["_bk"]
+    else:
+        keys = F.array(
+            *[
+                F.struct(F.lit(b).alias("b"), _mw_band_col(words, s, wd).alias("bv"))
+                for b, s, wd in bands
+            ]
+        )
+        blocked = base.withColumn("_b", F.explode(keys)).select(
+            "_id", F.col("_b.b").alias("b"), F.col("_b.bv").alias("bv")
+        )
+        join_cols = ["b", "bv"]
+    # ids-only band join + post-join word re-attach. The 64-bit pHash path
+    # measured the OPPOSITE (map-side refine inside the join, r5): there
+    # ~6-bit bands make random collisions the dominant volume, so carrying
+    # the word through the exchange beat re-joining per candidate. Wide
+    # (23-bit) bands invert the tradeoff — occupancy is n/2^23, candidates
+    # are a sliver of the banded table — and carrying 4 words per exploded
+    # row put a 464 MB exchange + 929 MB read in front of a few-hundred-
+    # thousand-row candidate set (measured: 8.7 s wall, ~100 s executor in
+    # the join stage alone). Shuffling (id, packed key) only is ~3x fewer
+    # bytes; the distinct collapses per-band duplicates BEFORE the words
+    # are fetched, so each surviving pair pays the 4-word xor exactly once.
+    left = blocked.select(F.col("_id").alias("id_a"), *join_cols)
+    right = blocked.select(F.col("_id").alias("id_b"), *join_cols)
     # scale safety: each join side is bands x n rows BY CONSTRUCTION, so a
     # broadcast is never right (Spark's size estimate through Generate can
     # undershoot badly enough to pick one — measured at bench scale: a
-    # 1.1M-row driver-built HashedRelation). Pin the shuffle merge join.
-    pairs = (
-        left.join(right.hint("merge"), ["b", "bv"])
+    # 1.1M-row driver-built HashedRelation). Pin a SHUFFLED hash join; both
+    # sides are the same exploded table, so AQE writes the exchange once
+    # and ReusedExchange serves the other side; per-partition builds are
+    # bounded by the band-occupancy invariant.
+    cand = (
+        left.join(right.hint("shuffle_hash"), join_cols)
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    wa = base.select(
+        F.col("_id").alias("id_a"), *[F.col(w).alias(f"_a{i}") for i, w in enumerate(wnames)]
+    )
+    wb = base.select(
+        F.col("_id").alias("id_b"), *[F.col(w).alias(f"_b{i}") for i, w in enumerate(wnames)]
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"_a{i}").bitwiseXOR(F.col(f"_b{i}"))) for i in range(n_words)
+    )
+    return (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
-    return pairs.groupBy("id_a", "id_b").agg(F.min("hamming").alias("hamming"))
 
 
 def multiword_band_sql(table: str, id_col: str, word_cols: list[str],

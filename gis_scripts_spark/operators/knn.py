@@ -124,6 +124,10 @@ def knn_join(
         salted = df.withColumn("_salt", F.lit(_salt_tok)).persist()
         return salted.drop("_salt"), salted
 
+    # (A spread() of these scans was measured here in the optimization
+    # round and REVERTED: with the premature-unpersist fix in place the
+    # cache fills already parallelize through the first shuffle, and the
+    # extra keyed exchanges cost ~0.4 s at 150k rows for no stage win.)
     pts = points_df.select(
         F.col(point_id).alias("_pid"),
         F.col(lon).cast("double").alias("_plon"),
@@ -469,17 +473,22 @@ def knn_join(
             glong = F.lit(int(grid_n)).cast("long")
             undone, _h = _persist_salted(
                 unresolved.join(done_q, "_qid", "left_anti")
-                .withColumn("_r", F.least(F.col("_r") * 2, glong))
             )
             transient_caches.append(_h)
             cw = cells_mod.cell_size_deg(z)[0]
-            rx_next = F.greatest(
+            r_dbl = F.least(F.col("_r") * 2, glong)
+            rx_dbl = F.greatest(
                 F.lit(1).cast("long"),
-                F.ceil(F.col("_r").cast("double") * F.lit(cell_h / cw)).cast("long"),
+                F.ceil(r_dbl.cast("double") * F.lit(cell_h / cw)).cast("long"),
             )
+            # ONE stats job sizes BOTH retry policies: the doubled radius
+            # (per-query probe-cell bound, as before) and a direct jump to
+            # the covers-grid radius (per-CELL bound — the probe explode is
+            # per distinct cell and edge-clipping caps it at grid_n^2).
             stats = undone.agg(
                 F.count(F.lit(1)).alias("n"),
-                F.sum((2 * F.col("_r") + 1) * (2 * rx_next + 1)).alias("probe_cells"),
+                F.sum((2 * r_dbl + 1) * (2 * rx_dbl + 1)).alias("probe_cells"),
+                F.countDistinct("_qcell").alias("n_cells"),
             ).first()
             n_undone = int(stats["n"])
             if telemetry is not None:
@@ -492,8 +501,26 @@ def knn_join(
                 )
             if n_undone == 0:
                 break
+            # Collapse the retry tail (r5 verdict: round 1 resolves ~99.65%
+            # at material size, then TWO more doubling rounds + their stats
+            # jobs served a straggler sliver): when the full covers-grid
+            # probe set for every surviving cell fits the broadcast gate,
+            # jump the survivors straight to r = grid_n — one final
+            # broadcast-probe round resolves everything (covers_grid), no
+            # intermediate radii, no extra stats jobs. Exactness is radius-
+            # schedule-independent (the resolve bound uses the radius
+            # actually probed); at larger survivor counts the doubling
+            # schedule is kept so the points table is never flooded.
+            grid_probe_bound = int(stats["n_cells"]) * grid_n * grid_n
+            if grid_probe_bound <= 2_000_000:
+                unresolved = undone.withColumn(
+                    "_r", F.lit(int(grid_n)).cast("long")
+                )
+                probe_cells_bound = grid_probe_bound
+                r = grid_n
+                continue
+            unresolved = undone.withColumn("_r", r_dbl)
             probe_cells_bound = int(stats["probe_cells"])
-            unresolved = undone
         else:
             undone_ids = (
                 scored.filter(~F.col("_resolved")).select(F.col("query_id").alias("_qid")).distinct()

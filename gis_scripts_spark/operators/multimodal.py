@@ -445,6 +445,8 @@ def geotagged_jpegs(
         cols.append(dt_col)
 
     def run(batches):
+        import struct
+
         from gis_scripts_spark.raster import exif
 
         for pdf in batches:
@@ -453,14 +455,34 @@ def geotagged_jpegs(
             lons = pdf[lon_md_col].to_numpy()
             ors = pdf[orientation_col].to_numpy() if orientation_col else None
             dts = pdf[dt_col].to_numpy() if dt_col else None
-            rows = []
-            for i in range(len(pdf)):
-                app1 = exif.exif_build(
-                    int(lats[i]), int(lons[i]),
-                    dt=str(dts[i]) if dts is not None else None,
-                    orientation=int(ors[i]) if ors is not None else 1,
+            n = len(pdf)
+            # vectorized fast path (guide §4.2): equal-length datetimes
+            # make the APP1 fixed-layout, so the whole batch patches one
+            # template as numpy column writes — byte-identical to the
+            # scalar builder (exif_build_batch self-checks row 0). The
+            # scalar loop remains for ragged datetimes / no-dt callers.
+            fixed_dt = dts is not None and n > 0 and len(
+                {len(str(d)) for d in dts}
+            ) == 1
+            if fixed_dt:
+                app1s = exif.exif_build_batch(
+                    lats.astype(np.int64), lons.astype(np.int64),
+                    np.asarray([str(d) for d in dts]),
+                    ors.astype(np.int64) if ors is not None else np.ones(n, np.int64),
                 )
-                rows.append((ids[i], exif.jpeg_with_exif(base_jpeg, app1)))
+                seg_hdr = struct.pack(">HH", 0xFFE1, app1s.shape[1] + 2)
+                pre = base_jpeg[:2] + seg_hdr
+                post = base_jpeg[2:]
+                rows = [(ids[i], pre + app1s[i].tobytes() + post) for i in range(n)]
+            else:
+                rows = []
+                for i in range(n):
+                    app1 = exif.exif_build(
+                        int(lats[i]), int(lons[i]),
+                        dt=str(dts[i]) if dts is not None else None,
+                        orientation=int(ors[i]) if ors is not None else 1,
+                    )
+                    rows.append((ids[i], exif.jpeg_with_exif(base_jpeg, app1)))
             yield pd.DataFrame(rows, columns=["image_id", "bytes"])
 
     return df.select(*cols).mapInPandas(run, schema)

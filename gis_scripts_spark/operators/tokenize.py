@@ -64,8 +64,15 @@ def word_histogram(df: DataFrame, text_col: str = "text",
     toks = F.expr(
         f"regexp_extract_all(lower({text_col}), '{sql_re}', 0)"
     )
+    from gis_scripts_spark.operators.repart import spread
+
+    # spread the scan BEFORE the regex explode: a small-bytes corpus
+    # arrives as 1-2 splits and the regexp_extract_all + explode + partial
+    # agg then runs on 1-2 cores (stage capture: a 2-task 2.7-3.9 s stage
+    # at 50k docs); no-op on multi-split inputs.
     hist = (
-        df.select(F.explode(toks).alias("word"))
+        spread(df.select(F.col(text_col)))
+        .select(F.explode(toks).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("word"))
@@ -177,15 +184,18 @@ def apply_bpe(
         memo: dict[str, list[str]] = {}
         for pdf in batches:
             ids, n_pre, n_tok, toks = [], [], [], []
-            for _, row in pdf.iterrows():
-                pres = pretokenize(row[text_col])
+            # zip over column arrays, not iterrows: the per-row work is a
+            # memoized dict walk, so pandas row-object construction is a
+            # measurable fraction (the exif_metadata 1.7x lesson)
+            for rid, text in zip(pdf[id_col].to_numpy(), pdf[text_col].to_numpy()):
+                pres = pretokenize(text)
                 out: list[str] = []
                 for w in pres:
                     t = memo.get(w)
                     if t is None:
                         t = memo[w] = bpe_word(w, ranks)
                     out.extend(t)
-                ids.append(row[id_col])
+                ids.append(rid)
                 n_pre.append(len(pres))
                 n_tok.append(len(out))
                 toks.append(out if keep_tokens else [])
@@ -194,6 +204,9 @@ def apply_bpe(
                  "n_bpe_tokens": n_tok, "tokens": toks}
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    from gis_scripts_spark.operators.repart import spread
+
+    # spread: same single-split-corpus unlock as word_histogram above.
+    return spread(df.select(id_col, text_col), id_col).mapInPandas(
         run, _tokenized_schema(df.schema[id_col].dataType)
     )

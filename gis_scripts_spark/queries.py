@@ -53,6 +53,23 @@ def _pq(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+def _pin_cache(child: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Release `cached` persists when `child` is dropped (weakref
+    finalizer) — the query-side twin of the operators' salted-persist
+    pattern, for frames a query function itself caches."""
+    import weakref
+
+    def _release(hs=tuple(reversed(cached))):
+        for h in hs:
+            try:
+                h.unpersist(False)
+            except Exception:
+                pass
+
+    weakref.finalize(child, _release)
+    return child
+
+
 def _pin(child: DataFrame, *parents: DataFrame) -> DataFrame:
     """Keep operator-returned frames alive for the lifetime of a wrapper
     projection built on top of them. Operators (knn_join, simhash_pairs,
@@ -1317,10 +1334,26 @@ def q_coverage_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     if boxes.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
         boxes = boxes.repartition(spark.sparkContext.defaultParallelism)
     bbox_wkb = _bbox_wkb_udf()
-    fp_df = boxes.select(
+    # persist the built-WKB frame: both the candidate pipeline (cell cover)
+    # and the final clip join consume it, and without materialization each
+    # job re-runs the WKB-build UDF stage (stage capture: 3 UDF stage
+    # evaluations per run). Salted per invocation; released when the
+    # returned frame is dropped.
+    import itertools as _it
+    import os as _os
+
+    global _Q_SALT_COUNTER
+    try:
+        _Q_SALT_COUNTER
+    except NameError:
+        _Q_SALT_COUNTER = _it.count()
+    _fp_salt = int(_os.getpid() << 20) ^ next(_Q_SALT_COUNTER)
+    _fp_cached = boxes.select(
         F.concat(F.lit("fp_"), F.lpad(F.col("id").cast("string"), 4, "0")).alias("image_id"),
         bbox_wkb("x_min", "y_min", "x_max", "y_max").alias("wkb"),
-    )
+        F.lit(_fp_salt).alias("_salt"),
+    ).persist()
+    fp_df = _fp_cached.drop("_salt")
     nations = _pq(spark, sf_dir, "nation").select("n_nationkey").collect()
     rects = pd.DataFrame(
         [
@@ -1335,7 +1368,10 @@ def q_coverage_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # answer we already know. Library callers keep the safe "auto".
     out = cj.coverage_join(fp_df, spark.createDataFrame(rects), z=6,
                            rect_id="aoi_id", broadcast_candidates=True)
-    return out.select("image_id", "aoi_id", F.round("coverage", 4).alias("coverage"))
+    return _pin_cache(
+        out.select("image_id", "aoi_id", F.round("coverage", 4).alias("coverage")),
+        _fp_cached,
+    )
 
 
 SQL_COVERAGE = f"""
@@ -2567,7 +2603,11 @@ def ensure_stream_events_fixture(spark: SparkSession, sf_dir: str) -> str:
     import shutil as _shutil
     import uuid as _uuid
 
-    path = f"/tmp/gss_streamq_{_hashlib.md5(sf_dir.encode()).hexdigest()[:10]}"
+    # v2 in the key: a fixture-FORMAT version (ADVICE — without it any
+    # change to the time-mixing constants or layout silently reuses a stale
+    # cached fixture built by older code)
+    _fixture_key = f"v2|{_STREAM_TS_BASE}|{LON_MULT}|{LAT_MULT}|{sf_dir}"
+    path = f"/tmp/gss_streamq_{_hashlib.md5(_fixture_key.encode()).hexdigest()[:10]}"
     if os.path.isdir(path):
         return path
     ev = _pq(spark, sf_dir, "events").select("event_id", "event_type").toPandas()
@@ -2674,7 +2714,7 @@ def q_streaming_windowed_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
     got = spark.read.parquet(sink)
-    return (
+    res = (
         got.filter(F.col("window_start").cast("long") < _STREAM_TS_BASE + 6000)
         .select(
             F.col("window_start").cast("long").alias("win_start_s"),
@@ -2682,6 +2722,15 @@ def q_streaming_windowed_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_images").alias("n_events"),
         )
     )
+    # materialize the (tiny) final table, then remove the per-invocation
+    # sink+checkpoint dir (ADVICE: every bench/correctness run leaked a
+    # /tmp/gss_streamrun_* tree; the returned frame lazily read the sink,
+    # so the rmtree must come after collection)
+    import shutil as _shutil
+
+    pdf = res.toPandas()
+    _shutil.rmtree(run, ignore_errors=True)
+    return spark.createDataFrame(pdf, schema=res.schema)
 
 
 SQL_STREAMING_WINDOWED_ZONAL = f"""

@@ -110,6 +110,92 @@ def exif_build(
     return _EXIF_HDR + tiff
 
 
+def exif_geotag_offsets(dt_len: int, with_dt: bool = True) -> dict:
+    """Byte offsets of the per-row fields inside an exif_build APP1 whose
+    datetime has a FIXED length — the vectorized-batch contract. Offsets
+    are DISCOVERED by diffing exif_build outputs (never re-deriving the
+    layout), so they cannot drift from the scalar builder."""
+    dt0 = "0" * dt_len if with_dt else None
+    dt1 = "1" * dt_len if with_dt else None
+    base = exif_build(0, 0, dt=dt0, orientation=1)
+    offs: dict = {"length": len(base)}
+
+    def _diff1(other: bytes) -> int:
+        d = [i for i, (a, b) in enumerate(zip(base, other)) if a != b]
+        if not d:
+            raise ValueError("no diff found for offset discovery")
+        return d[0]
+
+    offs["orient"] = _diff1(exif_build(0, 0, dt=dt0, orientation=2))
+    if with_dt:
+        offs["dt"] = _diff1(exif_build(0, 0, dt=dt1, orientation=1))
+    # lat 1 deg exactly: only the degree numerator (uint32) changes
+    offs["lat_deg"] = _diff1(exif_build(1000, 0, dt=dt0, orientation=1))
+    # lat 1 millideg: only the seconds numerator changes (= 18)
+    offs["lat_sec"] = _diff1(exif_build(1, 0, dt=dt0, orientation=1))
+    offs["lat_ref"] = _diff1(exif_build(-1000, 0, dt=dt0, orientation=1))
+    offs["lon_deg"] = _diff1(exif_build(0, 1000, dt=dt0, orientation=1))
+    offs["lon_sec"] = _diff1(exif_build(0, 1, dt=dt0, orientation=1))
+    offs["lon_ref"] = _diff1(exif_build(0, -1000, dt=dt0, orientation=1))
+    return offs
+
+
+def exif_build_batch(
+    lat_md: "np.ndarray",
+    lon_md: "np.ndarray",
+    dts: "np.ndarray | None",
+    orients: "np.ndarray",
+) -> "np.ndarray":
+    """(n, L) uint8 matrix of APP1 payloads, byte-identical to calling
+    exif_build per row (asserted on the first row of every batch) — the
+    vectorized write path for crawl-scale geotagging. Requires all
+    datetimes the same length (the exif_gps fixture shape); falls back to
+    the caller's scalar loop otherwise."""
+    import numpy as np
+
+    n = len(lat_md)
+    with_dt = dts is not None
+    dt_len = len(dts[0]) if with_dt else 0
+    offs = exif_geotag_offsets(dt_len, with_dt)
+    tmpl = np.frombuffer(
+        exif_build(0, 0, dt=("0" * dt_len if with_dt else None), orientation=1),
+        dtype=np.uint8,
+    )
+    out = np.broadcast_to(tmpl, (n, len(tmpl))).copy()
+
+    def _u32(col_off: int, vals: np.ndarray) -> None:
+        out[:, col_off:col_off + 4] = (
+            vals.astype("<u4").view(np.uint8).reshape(n, 4)
+        )
+
+    def _u16(col_off: int, vals: np.ndarray) -> None:
+        out[:, col_off:col_off + 2] = (
+            vals.astype("<u2").view(np.uint8).reshape(n, 2)
+        )
+
+    lat_md = np.asarray(lat_md, np.int64)
+    lon_md = np.asarray(lon_md, np.int64)
+    alat, alon = np.abs(lat_md), np.abs(lon_md)
+    _u16(offs["orient"], np.asarray(orients, np.int64))
+    _u32(offs["lat_deg"], alat // 1000)
+    _u32(offs["lat_sec"], (alat % 1000) * 18)
+    out[:, offs["lat_ref"]] = np.where(lat_md >= 0, ord("N"), ord("S"))
+    _u32(offs["lon_deg"], alon // 1000)
+    _u32(offs["lon_sec"], (alon % 1000) * 18)
+    out[:, offs["lon_ref"]] = np.where(lon_md >= 0, ord("E"), ord("W"))
+    if with_dt:
+        db = np.asarray(dts, dtype=f"S{dt_len}").view(np.uint8).reshape(n, dt_len)
+        out[:, offs["dt"]:offs["dt"] + dt_len] = db
+    # exactness guard: row 0 must equal the scalar builder bit for bit
+    ref0 = exif_build(
+        int(lat_md[0]), int(lon_md[0]),
+        dt=(str(dts[0]) if with_dt else None), orientation=int(orients[0]),
+    )
+    if out[0].tobytes() != ref0:
+        raise AssertionError("exif_build_batch diverged from exif_build")
+    return out
+
+
 def jpeg_with_exif(jpeg: bytes, app1_payload: bytes) -> bytes:
     """Splice an APP1 segment right after SOI (byte surgery, no pixel
     re-encode; the engine's decoder skips APPn)."""

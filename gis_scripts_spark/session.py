@@ -55,6 +55,13 @@ def get_spark(
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if repo_root not in os.environ.get("PYTHONPATH", ""):
         os.environ["PYTHONPATH"] = repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+    # One BLAS thread per Python worker: task-level parallelism already
+    # fills every core, and N workers x multi-thread BLAS oversubscribes
+    # the membus (guide §4.5 — heavyweight state is per-task; the BLAS
+    # kernels in ann/similarity showed 2x run-to-run executor-time swings
+    # from thread contention). Inherited by workers at JVM launch.
+    for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(_v, "1")
 
     if cores is None:
         cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
