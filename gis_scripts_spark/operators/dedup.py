@@ -1074,12 +1074,25 @@ def cluster_pairs_distributed(
             .agg(F.min("nl").alias("nl"))
             .select(F.col("src").alias("id"), "nl")
         )
+        prop = labels.join(neigh, "id", "left").select(
+            "id", F.least("label", F.coalesce("nl", "label")).alias("label")
+        )
+        # POINTER JUMPING (optimization round): after the neighbor-min
+        # propagation, each node additionally takes its label's label —
+        # L(v) <- min(L(v), L(L(v))) — which doubles the hop distance
+        # covered per round, turning O(component diameter) rounds into
+        # O(log diameter). One extra labels-by-label equi-join per round
+        # (labels only, tiny rows); the fixpoint — min member id per
+        # component — is unchanged, labels stay monotone non-increasing,
+        # so the decimal-sum convergence check is untouched.
+        lmap = prop.select(F.col("id").alias("_lk"), F.col("label").alias("_ll"))
+        jumped = prop.join(lmap, prop["label"] == lmap["_lk"], "left").select(
+            prop["id"], F.least(prop["label"], F.coalesce("_ll", prop["label"])).alias("label")
+        )
         # localCheckpoint (not persist): truncates lineage to a LogicalRDD
         # leaf so the next round's plan does NOT nest this round's — the
         # eager materialization doubles as the convergence-agg input scan.
-        new_labels = labels.join(neigh, "id", "left").select(
-            "id", F.least("label", F.coalesce("nl", "label")).alias("label")
-        ).localCheckpoint(eager=True)
+        new_labels = jumped.localCheckpoint(eager=True)
         # convergence check on every check_every-th round (or the last):
         # labels are monotone non-increasing, so an unchanged sum across a
         # SPAN of rounds proves no label moved anywhere in the span

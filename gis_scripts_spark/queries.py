@@ -790,7 +790,11 @@ SELECT id_a, id_b, CAST(hamming AS INTEGER) AS hamming FROM pairs WHERE hamming 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality features (pure Column math end-to-end -> FULL oracle row)."""
-    docs = _pq(spark, sf_dir, "documents")
+    from gis_scripts_spark.operators.repart import spread
+
+    # regex-heavy per-row Column math on a 1-2 split scan — spread so the
+    # codegen stage runs on every core (no-op on multi-split inputs)
+    docs = spread(_pq(spark, sf_dir, "documents"), "doc_id")
     out = text.with_quality_score(text.with_token_stats(docs))
     return out.select(
         "doc_id", "n_tokens", "n_bpe_ish",
