@@ -434,7 +434,9 @@ def _ivf_search(
         # 76 s of executor time serialized 4-wide = 19-24 s wall); an
         # AQE-exempt repartition on the SAME key keeps the kernel on every
         # core and the groupBy reuses the partitioning (one Exchange).
-        par = base.sparkSession.sparkContext.defaultParallelism
+        from gis_scripts_spark.operators.repart import slots
+
+        par = slots(base)
         scored = (
             base.repartition(min(len(centroids), par), "_list")
             .groupBy("_list")
@@ -456,7 +458,9 @@ def _ivf_search(
                 kk, excl,
             )
 
-        par = base.sparkSession.sparkContext.defaultParallelism
+        from gis_scripts_spark.operators.repart import slots
+
+        par = slots(base)
         n_part = min(len(centroids), par)
         scored = (
             q.repartition(n_part, "_list")

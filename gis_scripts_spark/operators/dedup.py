@@ -489,7 +489,8 @@ def hamming_neardup_pairs_multiword(
     # halves the join-key bytes in the exchange and makes hashing/probing a
     # single-long compare. Falls back to the two-column key for >=58-bit
     # bands (only reachable at n_words > 8).
-    packed = max(wd for _, _, wd in bands) <= 57
+    max_wd = max(wd for _, _, wd in bands)
+    packed = max_wd <= 57
     if packed:
         keys = F.array(
             *[
@@ -498,6 +499,10 @@ def hamming_neardup_pairs_multiword(
             ]
         )
         blocked = base.withColumn("_bk", F.explode(keys)).select("_id", "_bk")
+        if max_wd <= 25:
+            # 6 band bits + <=25 value bits fit an INT: half the key bytes
+            # in the exchange, narrower hash/compare in the join build
+            blocked = blocked.withColumn("_bk", F.col("_bk").cast("int"))
         join_cols = ["_bk"]
     else:
         keys = F.array(

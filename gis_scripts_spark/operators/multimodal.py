@@ -392,20 +392,19 @@ def exif_metadata(
         from gis_scripts_spark.raster import exif
 
         for pdf in batches:
-            rows = []
-            # zip over column arrays, not iterrows — per-row byte surgery
-            # is light enough that pandas row-object overhead dominates
-            for rid, buf in zip(pdf[id_col].to_numpy(), pdf[bytes_col].to_numpy()):
-                # crawl data carries malformed EXIF routinely: a corrupt
-                # segment yields a null row, never a dead task
-                try:
-                    meta = exif.exif_parse(bytes(buf)) or {}
-                except Exception:
-                    meta = {}
-                rows.append(
-                    (rid, meta.get("lat"), meta.get("lon"),
-                     meta.get("orientation"), meta.get("datetime"))
-                )
+            ids = pdf[id_col].to_numpy()
+            # batch parse: rows sharing one byte STRUCTURE decode
+            # vectorized (span-verified against row 0 — exif_parse_batch);
+            # corrupt/odd rows fall back to the scalar parser per row and
+            # yield a null row, never a dead task
+            metas = exif.exif_parse_batch(
+                [bytes(b) for b in pdf[bytes_col].to_numpy()]
+            )
+            rows = [
+                (rid, m.get("lat"), m.get("lon"),
+                 m.get("orientation"), m.get("datetime"))
+                for rid, m in zip(ids, (m or {} for m in metas))
+            ]
             yield pd.DataFrame(
                 rows, columns=["image_id", "lat", "lon", "orientation", "datetime"]
             )

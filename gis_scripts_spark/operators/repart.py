@@ -16,11 +16,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
+def slots(spark_or_df) -> int:
+    """The session's task-slot count (published by session.get_spark as
+    spark.graft.slots; falls back to defaultParallelism). The right width
+    for small-row-count compute-heavy stages, where 2x-slots widths only
+    double per-task fixed overhead."""
+    spark = getattr(spark_or_df, "sparkSession", spark_or_df)
+    try:
+        return int(spark.conf.get("spark.graft.slots"))
+    except Exception:
+        return spark.sparkContext.defaultParallelism
+
+
 def spread(df: DataFrame, *keys: str, parallelism: int | None = None) -> DataFrame:
-    """Repartition `df` to the session's default parallelism iff its
-    current plan yields fewer partitions — a no-op on well-split inputs."""
-    sc = df.sparkSession.sparkContext
-    p = parallelism if parallelism is not None else sc.defaultParallelism
+    """Repartition `df` to the session's SLOT count iff its current plan
+    yields fewer partitions — a no-op on well-split inputs."""
+    p = parallelism if parallelism is not None else slots(df)
     try:
         n = df.rdd.getNumPartitions()
     except Exception:

