@@ -517,9 +517,15 @@ FROM lvl1 GROUP BY cell
 def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact kNN via cell-ring expansion (k=5, squared-degree metric)."""
     cust = derived_lonlat(_pq(spark, sf_dir, "customer"), "c_custkey")
+    # row count from the parquet FOOTER (driver-side metadata, ~ms) — the
+    # operator's own pts.count() fallback costs a full Spark job just to
+    # size the initial probe radius
+    import pyarrow.parquet as _pqt
+
+    n_pts = _pqt.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
     out = knn.knn_join(
         cust, cust, k=5, z=6, point_id="c_custkey", query_id="c_custkey",
-        metric="euclid2", exclude_self=True,
+        metric="euclid2", exclude_self=True, n_points_hint=int(n_pts),
     )
     return _pin(out.select("query_id", "neighbor_id", "rank"), out)
 
