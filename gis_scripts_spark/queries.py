@@ -636,9 +636,13 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     32 lists puts it back on all cores. Exactness is UNAFFECTED — with
     exhaustive probing the codebook only partitions work."""
     emb = _pq(spark, sf_dir, "embeddings")
+    # broadcast_queries=True (explicit, the coverage_join pattern): this
+    # query's query set IS the embeddings table — statically far under the
+    # broadcast ceiling — so the auto gate's count job is a job spent
+    # answering a question the query already knows.
     return ann_ivf.ivf_topk(
         emb, k=3, id_col="vec_id", vec="embedding", n_lists=32, nprobe=32,
-        n_iters=2,
+        n_iters=2, broadcast_queries=True,
     )
 
 
