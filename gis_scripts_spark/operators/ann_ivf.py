@@ -434,12 +434,26 @@ def _ivf_search(
         # 76 s of executor time serialized 4-wide = 19-24 s wall); an
         # AQE-exempt repartition on the SAME key keeps the kernel on every
         # core and the groupBy reuses the partitioning (one Exchange).
+        #
+        # SUB-SPLIT skew balancing (optimization round): Voronoi lists are
+        # uneven (2-3x), and with ~one group per core the largest list IS
+        # the stage wall (run-to-run kernel-job swings 1.9-4.6 s). A
+        # deterministic sub-key partitions each list into `nsub` chunks:
+        # work per group evens out, and exactness is unchanged — chunks
+        # partition the list, so per-chunk top-k lists are a superset of
+        # the per-list top-k and the same union argument that covers
+        # partitioned lists covers partitioned chunks; each (q, p) pair
+        # still appears exactly once.
         from gis_scripts_spark.operators.repart import slots
 
         par = slots(base)
+        nsub = max(1, (2 * par) // max(len(centroids), 1))
+        keyed = base.withColumn(
+            "_sub", F.pmod(F.xxhash64("_pid"), F.lit(nsub)).cast("int")
+        )
         scored = (
-            base.repartition(min(len(centroids), par), "_list")
-            .groupBy("_list")
+            keyed.repartition(min(len(centroids) * nsub, 2 * par), "_list", "_sub")
+            .groupBy("_list", "_sub")
             .applyInPandas(list_topk_b, part_schema)
         )
     else:
