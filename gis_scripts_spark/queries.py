@@ -519,13 +519,21 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = derived_lonlat(_pq(spark, sf_dir, "customer"), "c_custkey")
     # row count from the parquet FOOTER (driver-side metadata, ~ms) — the
     # operator's own pts.count() fallback costs a full Spark job just to
-    # size the initial probe radius
-    import pyarrow.parquet as _pqt
+    # size the initial probe radius. Defensive: a multi-file/dir layout or
+    # any read hiccup falls back to the operator's count.
+    try:
+        import pyarrow.parquet as _pqt
 
-    n_pts = _pqt.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+        n_pts = sum(
+            _pqt.ParquetFile(f).metadata.num_rows
+            for f in _pqt.ParquetDataset(f"{sf_dir}/customer.parquet").files
+        ) or None
+    except Exception:
+        n_pts = None
     out = knn.knn_join(
         cust, cust, k=5, z=6, point_id="c_custkey", query_id="c_custkey",
-        metric="euclid2", exclude_self=True, n_points_hint=int(n_pts),
+        metric="euclid2", exclude_self=True,
+        n_points_hint=int(n_pts) if n_pts is not None else None,
     )
     return _pin(out.select("query_id", "neighbor_id", "rank"), out)
 
